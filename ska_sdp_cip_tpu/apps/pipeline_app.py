@@ -1,0 +1,163 @@
+"""
+Imaging CLI — the ``tpu-cip`` entry point.
+
+Argument-compatible with the reference's ``ska-sdp-cip`` app
+(reference: src/ska_sdp_cip/apps/pipeline_app.py:17-116): positional
+dataset + output image, ``-n/--num-pixels``, ``-p/--pixel-size``, and a
+distribution group. The dask scheduler address is replaced by
+``-d/--devices`` (mesh size; "all" = every visible device); distributed
+runs write ``task-list.json`` in the reference's schema and optionally
+a JAX profiler trace (the replacement for dask's performance_report
+HTML).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .. import __version__
+from ..invert import invert_dataset
+from ..io.visibility_dataset import VisibilityReader
+from ..utils.task_metrics import TaskRecorder
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """Create the CLI parser for the app."""
+    parser = argparse.ArgumentParser(
+        description="Launch the TPU-native SKA continuum imaging pipeline",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--version", action="version", version=__version__)
+    parser.add_argument(
+        "dataset",
+        type=Path,
+        help="Path to the input visibility dataset (VZ directory, or "
+        "MeasurementSet v2 if python-casacore is installed)",
+    )
+    parser.add_argument(
+        "output_image",
+        type=Path,
+        help="Path to output image, which is saved as a numpy array",
+    )
+
+    imaging_group = parser.add_argument_group("imaging")
+    imaging_group.add_argument(
+        "-n",
+        "--num-pixels",
+        type=int,
+        required=True,
+        help="Number of pixels across the image",
+    )
+    imaging_group.add_argument(
+        "-p",
+        "--pixel-size",
+        type=float,
+        required=True,
+        help="Pixel size in arcseconds at the image centre",
+    )
+    imaging_group.add_argument(
+        "-e",
+        "--epsilon",
+        type=float,
+        default=1e-4,
+        help="Gridding accuracy target",
+    )
+    imaging_group.add_argument(
+        "--no-wstacking",
+        action="store_true",
+        help="Disable w-stacking (narrow-field imaging)",
+    )
+
+    dist_group = parser.add_argument_group("distribution")
+    dist_group.add_argument(
+        "-d",
+        "--devices",
+        type=str,
+        default=None,
+        help="Distribute over a device mesh: an integer device count, "
+        "or 'all' for every visible device. Default: single device.",
+    )
+    dist_group.add_argument(
+        "-rc",
+        "--row-chunks",
+        type=int,
+        default=None,
+        help="Number of row chunks (shards) along the row axis",
+    )
+    dist_group.add_argument(
+        "-fc",
+        "--freq-chunks",
+        type=int,
+        default=None,
+        help="Number of frequency chunks. If None, set to "
+        "min(num_channels, num_devices).",
+    )
+    dist_group.add_argument(
+        "--profile-dir",
+        type=Path,
+        default=None,
+        help="Write a JAX profiler trace for the run to this directory",
+    )
+    return parser
+
+
+def run_program(cli_args: list[str]) -> None:
+    """Run the app; the function called by the tests."""
+    args = get_parser().parse_args(cli_args)
+    reader = VisibilityReader(args.dataset)
+
+    profile_ctx = None
+    if args.profile_dir is not None:
+        import jax
+
+        profile_ctx = jax.profiler.trace(str(args.profile_dir))
+        profile_ctx.__enter__()
+
+    try:
+        if args.devices is None:
+            image = invert_dataset(
+                reader,
+                num_pixels=args.num_pixels,
+                pixel_size_asec=args.pixel_size,
+                epsilon=args.epsilon,
+                do_wstacking=not args.no_wstacking,
+            )
+        else:
+            from ..parallel.mesh import make_device_mesh
+            from ..parallel.sharded_invert import sharded_invert_dataset
+
+            num_devices = (
+                None if args.devices == "all" else int(args.devices)
+            )
+            mesh = make_device_mesh(num_devices)
+            recorder = TaskRecorder()
+            image = sharded_invert_dataset(
+                reader,
+                num_pixels=args.num_pixels,
+                pixel_size_asec=args.pixel_size,
+                mesh=mesh,
+                row_chunks=args.row_chunks,
+                freq_chunks=args.freq_chunks,
+                epsilon=args.epsilon,
+                do_wstacking=not args.no_wstacking,
+                recorder=recorder,
+            )
+            # Same file name / schema as the reference
+            # (reference: apps/pipeline_app.py:105-107).
+            recorder.save_json("task-list.json", indent=4, sort_keys=True)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+    np.save(args.output_image.with_suffix(".npy"), image)
+
+
+def main() -> None:
+    """Entry point for the pipeline app."""
+    run_program(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

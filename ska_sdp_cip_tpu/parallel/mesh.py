@@ -1,0 +1,58 @@
+"""
+Device mesh and multi-host bring-up helpers.
+
+The reference's distribution fabric is a dask scheduler plus ssh-started
+workers (reference: src/ska_sdp_cip/invert.py:212-270,
+slurm/csd3_icelake.sh:58-83). The TPU-native equivalent is a single
+SPMD program over a ``jax.sharding.Mesh``: per-host processes join via
+``jax.distributed.initialize`` and the compiler schedules all
+communication (psum over ICI/DCN) — there is no central scheduler.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """
+    Join the multi-host SPMD world. No-op for single-process runs; on a
+    TPU pod slice the arguments are auto-detected from the environment.
+    This replaces the reference's scheduler/worker bring-up
+    (reference: slurm/csd3_icelake.sh:33-83).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Single-process environment (no coordinator): run locally.
+        pass
+
+
+def make_device_mesh(
+    num_devices: int | None = None,
+    *,
+    axis_name: str = "shards",
+    devices: list | None = None,
+) -> Mesh:
+    """
+    1-D device mesh over which visibility shards are distributed. The
+    invert reduction (``integrate_weighted_images`` in the reference,
+    invert.py:200-209) becomes a ``psum`` over this axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))

@@ -1,0 +1,179 @@
+"""
+Sharded SPMD invert: the TPU-native replacement for the reference's
+dask-distributed invert (reference: src/ska_sdp_cip/invert.py:212-270).
+
+The dataset is partitioned into (row_chunks x freq_chunks) shards with
+the same balanced-chunk semantics the reference uses
+(measurement_set.py:234-277); one shard per mesh device. Every device
+runs the identical gridding program on its shard (plans are padded to
+common static shapes), and the per-shard images are reduced with a
+single ``lax.psum`` over the mesh — the compiler-scheduled equivalent
+of `integrate_weighted_images` running on one dask worker
+(invert.py:200-209). Normalization by the global effective weight sum
+happens after the reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..invert import StokesIGridderInput, pixel_size_lm_from_asec
+from ..io.visibility_dataset import VisibilityReader
+from ..ops.gridder import build_invert, plan_device_arrays
+from ..ops.plan import make_plan, pad_plans_uniform
+from .mesh import make_device_mesh
+
+#: Plan-array keys that are identical on every shard (replicated);
+#: everything else is per-shard.
+_REPLICATED_KEYS = ("inv_corr", "nm1s")
+
+
+def shard_chunk_counts(
+    num_devices: int, num_channels: int, row_chunks, freq_chunks
+) -> tuple[int, int]:
+    """
+    Resolve (row_chunks, freq_chunks) so their product equals the mesh
+    size. Mirrors the reference's defaults — row_chunks=1 and one
+    frequency chunk per worker, capped by the channel count
+    (reference: invert.py:248-252 as intended; see SURVEY.md Q1/Q2) —
+    then fills the remainder onto the row axis.
+    """
+    if freq_chunks is None:
+        freq_chunks = min(num_channels, num_devices)
+    if row_chunks is None:
+        if num_devices % freq_chunks:
+            raise ValueError(
+                f"num_devices={num_devices} not divisible by "
+                f"freq_chunks={freq_chunks}; pass explicit chunk counts"
+            )
+        row_chunks = num_devices // freq_chunks
+    if row_chunks * freq_chunks != num_devices:
+        raise ValueError(
+            "row_chunks * freq_chunks must equal the number of mesh "
+            f"devices ({row_chunks} * {freq_chunks} != {num_devices})"
+        )
+    return row_chunks, freq_chunks
+
+
+def sharded_invert_dataset(
+    reader: VisibilityReader,
+    num_pixels: int,
+    pixel_size_asec: float,
+    *,
+    mesh: Mesh | None = None,
+    row_chunks: int | None = None,
+    freq_chunks: int | None = None,
+    epsilon: float = 1e-4,
+    do_wstacking: bool = True,
+    recorder=None,
+) -> np.ndarray:
+    """
+    Invert a visibility dataset into a normalized Stokes-I dirty image,
+    distributed over a device mesh (reference API:
+    dask_invert_measurement_set, invert.py:212-270).
+
+    ``recorder`` is an optional utils.task_metrics.TaskRecorder whose
+    steps replace the reference's dask task stream tracing.
+    """
+    from contextlib import nullcontext
+
+    step = recorder.step if recorder is not None else (
+        lambda name: nullcontext()
+    )
+
+    if mesh is None:
+        mesh = make_device_mesh()
+    (axis_name,) = mesh.axis_names
+    num_devices = mesh.devices.size
+
+    row_chunks, freq_chunks = shard_chunk_counts(
+        num_devices, reader.num_channels, row_chunks, freq_chunks
+    )
+
+    pixel_size_lm = pixel_size_lm_from_asec(pixel_size_asec)
+
+    # -- load + Stokes-I convert each shard (host side) ---------------
+    with step("load_shards"):
+        shards = [
+            StokesIGridderInput.from_reader(chunk)
+            for chunk in reader.partition(row_chunks, freq_chunks)
+        ]
+
+    # -- per-shard plans, padded to one static program -----------------
+    with step("plan_shards"):
+        plans = [
+            make_plan(
+                shard.uvw,
+                shard.channel_frequencies,
+                num_pixels,
+                pixel_size_lm,
+                epsilon=epsilon,
+                do_wstacking=do_wstacking,
+            )
+            for shard in shards
+        ]
+        plans = pad_plans_uniform(plans)
+
+    # -- stack device inputs ------------------------------------------
+    with step("stage_shards"):
+        arrays_per_shard = [plan_device_arrays(plan) for plan in plans]
+        stacked = {}
+        for key in arrays_per_shard[0]:
+            if key in _REPLICATED_KEYS:
+                stacked[key] = arrays_per_shard[0][key]
+            else:
+                stacked[key] = jnp.stack(
+                    [arrays[key] for arrays in arrays_per_shard]
+                )
+
+        num_vis = plans[0].num_vis
+        vis_stacked = np.zeros((num_devices, num_vis), np.complex64)
+        total_weight = 0.0
+        for i, shard in enumerate(shards):
+            weighted = (
+                shard.visibilities.astype(np.complex64)
+                * shard.effective_weights().astype(np.float32)
+            ).ravel()
+            vis_stacked[i, : len(weighted)] = weighted
+            total_weight += float(shard.effective_weights().sum())
+        vis_stacked = jnp.asarray(vis_stacked)
+
+    # -- one SPMD program over the mesh --------------------------------
+    invert = build_invert(plans[0])
+
+    in_specs = (
+        {
+            key: P() if key in _REPLICATED_KEYS else P(axis_name)
+            for key in stacked
+        },
+        P(axis_name),
+    )
+
+    def shard_fn(arrays, vis):
+        arrays = {
+            key: value if key in _REPLICATED_KEYS else value[0]
+            for key, value in arrays.items()
+        }
+        image = invert(arrays, vis[0])
+        return jax.lax.psum(image, axis_name)
+
+    with step("grid_fft_reduce"):
+        spmd = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=P(),
+                # The gridding scan starts from an unvarying zero grid
+                # and mixes in shard-varying data; skip the VMA check.
+                check_vma=False,
+            )
+        )
+        image = np.asarray(jax.block_until_ready(spmd(stacked, vis_stacked)))
+
+    return image / total_weight
