@@ -1,0 +1,125 @@
+"""
+UVW reorder CLI — the ``tpu-cip-reorder-uvw`` entry point.
+
+Argument-compatible with the reference's ``ska-sdp-cip-reorder-uvw``
+app (reference: src/ska_sdp_cip/apps/uvw_reorder_app.py:12-109). The
+required dask scheduler address is replaced by host-local worker count
+(``-j``) and optional multi-host striding; tracing goes to
+``task-list.json`` in the same schema.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+from .. import __version__
+from ..io.visibility_dataset import VisibilityReader
+from ..utils.task_metrics import TaskRecorder
+from ..uvw_tiling import reorder_by_uvw_tile
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """Create the CLI parser for the app."""
+    parser = argparse.ArgumentParser(
+        description=(
+            "Convert visibilities to Stokes I and sort them by UVW tile"
+        ),
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--version", action="version", version=__version__)
+    parser.add_argument(
+        "dataset",
+        type=Path,
+        help="Path to the input visibility dataset (VZ directory, or "
+        "MeasurementSet v2 if python-casacore is installed)",
+    )
+    parser.add_argument(
+        "-t",
+        "--tile-size",
+        nargs=3,
+        type=float,
+        required=True,
+        help=(
+            "UVW tile size in units of wavelength, as a space-separated "
+            "sequence of 3 real-valued numbers"
+        ),
+    )
+    parser.add_argument(
+        "-o",
+        "--outdir",
+        type=Path,
+        default=Path.cwd(),
+        help=(
+            "Output directory for the reordered data (and temporary "
+            "files). Created if it does not exist."
+        ),
+    )
+    parser.add_argument(
+        "-n",
+        "--num-time-intervals",
+        type=int,
+        default=None,
+        help=(
+            "Split the input data into this many time chunks. "
+            "If None, a choice is made automatically."
+        ),
+    )
+    parser.add_argument(
+        "-m",
+        "--max-vis-per-chunk",
+        type=int,
+        default=5_000_000,
+        help="Maximum number of visibility samples per tile chunk file",
+    )
+    parser.add_argument(
+        "-j",
+        "--workers",
+        type=int,
+        default=None,
+        help="Host-local worker processes (default: CPU count)",
+    )
+    parser.add_argument(
+        "--num-hosts",
+        type=int,
+        default=1,
+        help="Total hosts sharing the reorder over a common filesystem",
+    )
+    parser.add_argument(
+        "--host-index",
+        type=int,
+        default=0,
+        help="This host's index in [0, num_hosts)",
+    )
+    return parser
+
+
+def run_program(cli_args: list) -> None:
+    """Run the app; the function called by the tests."""
+    args = get_parser().parse_args(cli_args)
+    reader = VisibilityReader(args.dataset)
+
+    outdir: Path = args.outdir
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    recorder = TaskRecorder(worker=f"host{args.host_index}")
+    with recorder.step("reorder_by_uvw_tile"):
+        reorder_by_uvw_tile(
+            reader,
+            tuple(args.tile_size),
+            outdir,
+            num_time_intervals=args.num_time_intervals,
+            max_vis_per_chunk=args.max_vis_per_chunk,
+            max_workers=args.workers,
+            num_hosts=args.num_hosts,
+            host_index=args.host_index,
+        )
+    recorder.save_json("task-list.json", indent=4, sort_keys=True)
+
+
+def main() -> None:
+    """Entry point for the reordering app."""
+    run_program(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""
+On-device deconvolution: Hogbom minor cycle + Cotton-Schwab-style
+major cycle.
+
+The reference computes dirty images only ("no deconvolution/CLEAN yet",
+SURVEY.md section 0); this is the solver layer the tiled invert/predict
+pair exists to feed (north star in BASELINE.json: major-cycle
+first-order iterations — gradient = grid(residual) — fully on device,
+no host round-trips inside a cycle).
+
+The minor cycle is a ``lax.while_loop`` peak-find/subtract over a
+padded residual frame; the major cycle recomputes exact residuals
+through the measurement operator (predict -> weight -> invert), so
+minor-cycle approximation error does not accumulate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .operators import MeasurementOperator
+
+
+@partial(jax.jit, static_argnames=("gain", "max_iter"))
+def hogbom_clean(
+    dirty,
+    psf,
+    *,
+    gain: float = 0.1,
+    max_iter: int = 100,
+    threshold: float = 0.0,
+):
+    """
+    Hogbom CLEAN minor cycle, fully on device.
+
+    ``dirty`` and ``psf`` are (npix, npix) with the PSF peak at the
+    centre pixel. Iterates: find the absolute peak, add
+    ``gain * peak`` to the model there, subtract the shifted scaled
+    PSF — until ``max_iter`` or ``|peak| <= threshold``.
+
+    Returns ``(model, residual)``.
+    """
+    npix = dirty.shape[0]
+    half = npix // 2
+
+    psf = psf / psf[half, half]
+
+    # Residual lives in a (2 npix, 2 npix) frame so PSF subtraction is
+    # a single dynamic_update_slice with no boundary cases.
+    frame = jnp.zeros((2 * npix, 2 * npix), dirty.dtype)
+    frame = lax.dynamic_update_slice(frame, dirty, (half, half))
+    model0 = jnp.zeros_like(dirty)
+
+    def peak_of(frame):
+        inner = lax.dynamic_slice(frame, (half, half), (npix, npix))
+        flat_idx = jnp.argmax(jnp.abs(inner))
+        return flat_idx, inner.reshape(-1)[flat_idx]
+
+    def cond(state):
+        _, _, it, peak_abs = state
+        return jnp.logical_and(it < max_iter, peak_abs > threshold)
+
+    def body(state):
+        frame, model, it, _ = state
+        flat_idx, peak = peak_of(frame)
+        i = flat_idx // npix
+        j = flat_idx % npix
+        model = model.at[i, j].add(gain * peak)
+        window = lax.dynamic_slice(frame, (i, j), (npix, npix))
+        frame = lax.dynamic_update_slice(
+            frame, window - gain * peak * psf, (i, j)
+        )
+        _, next_peak = peak_of(frame)
+        return frame, model, it + 1, jnp.abs(next_peak)
+
+    _, peak0 = peak_of(frame)
+    frame, model, _, _ = lax.while_loop(
+        cond, body, (frame, model0, jnp.int32(0), jnp.abs(peak0))
+    )
+    residual = lax.dynamic_slice(frame, (half, half), (npix, npix))
+    return model, residual
+
+
+def major_cycle_clean(
+    operator: MeasurementOperator,
+    vis,
+    *,
+    num_major: int = 3,
+    gain: float = 0.1,
+    minor_iter: int = 100,
+    threshold_factor: float = 0.0,
+):
+    """
+    Cotton-Schwab major cycle: each cycle computes the exact residual
+    image through the measurement operator and runs a Hogbom minor
+    cycle on it.
+
+    Returns ``(model, residual_image)``. The model is the CLEAN
+    component image; ``model + residual`` approximates the
+    deconvolved sky (restoring-beam convolution left to the caller).
+    """
+    from .operators import as_split_pair
+
+    vis = as_split_pair(vis)
+    psf = operator.psf()
+    model = jnp.zeros(
+        (operator.plan.num_pixels, operator.plan.num_pixels), jnp.float32
+    )
+
+    residual_image = operator.dirty_image(vis)
+    for _ in range(num_major):
+        threshold = threshold_factor * jnp.max(jnp.abs(residual_image))
+        delta, _ = hogbom_clean(
+            residual_image,
+            psf,
+            gain=gain,
+            max_iter=minor_iter,
+            threshold=float(threshold),
+        )
+        model = model + delta
+        residual_image = -operator.residual_gradient(model, vis)
+    return model, residual_image
+
+
+def build_major_cycle_step(operator: MeasurementOperator, **clean_kwargs):
+    """
+    One fully-jitted major-cycle step ``(model, vis) -> model'``:
+    gradient through the measurement operator + minor cycle + model
+    update, with no host round-trips — the framework's "training step".
+    """
+    gain = clean_kwargs.get("gain", 0.1)
+    minor_iter = clean_kwargs.get("minor_iter", 30)
+    psf = operator.psf()
+
+    @jax.jit
+    def step(model, vis_re, vis_im):
+        residual_image = -operator.residual_gradient(
+            model, (vis_re, vis_im)
+        )
+        delta, _ = hogbom_clean(
+            residual_image, psf, gain=gain, max_iter=minor_iter
+        )
+        return model + delta
+
+    return step

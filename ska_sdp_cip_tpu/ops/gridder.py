@@ -8,14 +8,19 @@ program shaped for the TPU:
 
 * **Gridding as matmuls.** For a block of B visibilities bound to one
   P x P grid patch, the scatter of separable-kernel outer products is
-  exactly ``patch[r, c] = sum_k Ax[k, r] * val_k * Ay[k, c]`` — two real
+  exactly ``patch[r, c] = sum_k Ax[k, r] * val_k * Ay[k, c]`` — real
   (P, B) @ (B, P) matrix products on the MXU, with ``Ax/Ay`` banded
   kernel matrices built densely on the VPU. No data-dependent scatter
   anywhere in the hot loop.
+* **Complex-free throughout.** The TPU backend here has no complex
+  support, so all spectral data is split (re, im) float32 and the
+  FFT itself is the four-step matmul DFT (ops/fft.py) — which also
+  happens to be the MXU-native way to do FFTs.
 * **Improved w-stacking.** Visibilities are convolved onto w-planes
   with the same ES kernel (plane spacing from the plan), each plane is
-  FFT'd and phased by its w-screen, and a single fused correction map
-  (uv taper x w taper x 1/n) finishes the image.
+  FFT'd and phased by its w-screen (only the real part is accumulated
+  across planes), and a single fused correction map (uv taper x w
+  taper x 1/n) finishes the image.
 * **Static shapes everywhere.** The plan provides per-plane
   active-block tables; the program is a ``scan`` over planes and a
   ``scan`` over block slots, masked — XLA sees fixed trip counts.
@@ -29,13 +34,12 @@ epsilon=1e-4 (reference: invert.py:179).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from .fft import fft2_split, fft_plan_arrays, make_fft_plan
 from .kernels import correction_np, es_kernel_jnp
 from .plan import GridderPlan, make_plan
 
@@ -44,12 +48,22 @@ SPEED_OF_LIGHT = 299792458.0
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def split_complex(vis) -> tuple:
+    """Host-side split of a complex array into (re, im) float32."""
+    vis = np.asarray(vis)
+    return (
+        np.ascontiguousarray(vis.real, dtype=np.float32),
+        np.ascontiguousarray(vis.imag, dtype=np.float32),
+    )
+
+
 def plan_device_arrays(plan: GridderPlan) -> dict:
     """
     Device-resident arrays of a plan (the non-static part of the
-    gridding program's input), including precomputed image-domain maps:
-    ``corr`` (fused uv-taper x w-taper x 1/n correction) and ``nm1s``
-    (n(l,m) - 1 - n_mid, the w-screen argument).
+    gridding program's input), including precomputed image-domain maps
+    (``inv_corr``: fused uv-taper x w-taper x 1/n correction; ``nm1s``:
+    n(l,m) - 1 - n_mid, the w-screen argument) and the matmul-FFT
+    factors for the padded grid size.
     """
     npix, ngrid = plan.num_pixels, plan.ngrid
 
@@ -70,7 +84,9 @@ def plan_device_arrays(plan: GridderPlan) -> dict:
 
     arrays = {
         "order": jnp.asarray(plan.order),
-        "flip": jnp.asarray(plan.flip),
+        "flip_sign": jnp.asarray(
+            np.where(plan.flip, -1.0, 1.0).astype(np.float32)
+        ),
         "x0": jnp.asarray(plan.x0),
         "y0": jnp.asarray(plan.y0),
         "fx": jnp.asarray(plan.fx),
@@ -85,17 +101,25 @@ def plan_device_arrays(plan: GridderPlan) -> dict:
         "inv_corr": jnp.asarray(inv_corr, dtype=jnp.float32),
         "nm1s": jnp.asarray(nm1 - plan.n_mid, dtype=jnp.float32),
     }
+    arrays.update(fft_plan_arrays(make_fft_plan(ngrid)))
     return arrays
 
 
-def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_flat):
-    """Gather to plan order, conjugate flipped rows, apply w pre-phase."""
-    vis = jnp.asarray(vis_flat, dtype=jnp.complex64)[arrays["order"]]
-    vis = jnp.where(arrays["flip"], jnp.conj(vis), vis)
+def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_re, vis_im):
+    """
+    Gather to plan order, conjugate flipped rows, apply the w-shift
+    pre-phase. All float32; returns (re, im).
+    """
+    order = arrays["order"]
+    re = jnp.take(jnp.asarray(vis_re, jnp.float32), order, mode="clip")
+    im = jnp.take(jnp.asarray(vis_im, jnp.float32), order, mode="clip")
+    im = im * arrays["flip_sign"]
     if plan.wstacking:
         phase = (-2.0 * np.pi * plan.n_mid) * arrays["ws"]
-        vis = vis * jnp.exp(1j * phase.astype(jnp.float32))
-    return vis
+        cos = jnp.cos(phase)
+        sin = jnp.sin(phase)
+        re, im = re * cos - im * sin, re * sin + im * cos
+    return re, im
 
 
 def _kernel_matrices(plan: GridderPlan, arrays: dict, b, ox, oy):
@@ -155,12 +179,18 @@ def _unfold_wraps(plan: GridderPlan, g):
     return alloc
 
 
+def _shift2(x, amount):
+    """fftshift/ifftshift for even sizes: a half-size roll per axis."""
+    return jnp.roll(x, (amount, amount), axis=(0, 1))
+
+
 def build_invert(plan: GridderPlan):
     """
-    Returns a jitted ``invert(arrays, vis_flat) -> image`` computing the
-    unnormalized dirty image (float32, (npix, npix)) from flattened
-    (row * chan) weighted Stokes-I visibilities. Divide by the total
-    effective weight for fluxes (reference: invert.py:119-149).
+    Returns a jitted ``invert(arrays, vis_re, vis_im) -> image``
+    computing the unnormalized dirty image (float32, (npix, npix)) from
+    flattened (row * chan) weighted Stokes-I visibilities, split into
+    real/imag float32. Divide by the total effective weight for fluxes
+    (reference: invert.py:119-149).
     """
     P, B, W = plan.patch, plan.block, plan.support
     N, NA, npix = plan.ngrid, plan.nalloc, plan.num_pixels
@@ -168,10 +198,8 @@ def build_invert(plan: GridderPlan):
     inv_whalf = 2.0 / (W * plan.dw)
 
     @jax.jit
-    def invert(arrays: dict, vis_flat):
-        vis = _prepare_sorted_vis(plan, arrays, vis_flat)
-        vis_re = jnp.real(vis)
-        vis_im = jnp.imag(vis)
+    def invert(arrays: dict, vis_re, vis_im):
+        re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
 
         def plane_body(image_accum, p):
             w_p = arrays["plane_w"][p]
@@ -192,8 +220,8 @@ def build_invert(plan: GridderPlan):
                 else:
                     kw = jnp.ones_like(ws)
                 amp = jnp.where(lane & valid, kw, 0.0)
-                val_re = lax.dynamic_slice(vis_re, (s,), (B,)) * amp
-                val_im = lax.dynamic_slice(vis_im, (s,), (B,)) * amp
+                val_re = lax.dynamic_slice(re, (s,), (B,)) * amp
+                val_im = lax.dynamic_slice(im, (s,), (B,)) * amp
 
                 patch_re = jnp.matmul(
                     ax.T, val_re[:, None] * ay, precision=_HIGHEST
@@ -218,34 +246,40 @@ def build_invert(plan: GridderPlan):
             (grid_re, grid_im), _ = lax.scan(
                 block_body, grid0, jnp.arange(plan.max_active)
             )
-            grid = _fold_wraps(
-                plan, grid_re.astype(jnp.complex64) + 1j * grid_im
-            )
-            img = jnp.fft.fftshift(
-                jnp.fft.ifft2(jnp.fft.ifftshift(grid))
-            )[crop0 : crop0 + npix, crop0 : crop0 + npix] * (N * N)
+            grid_re = _shift2(_fold_wraps(plan, grid_re), N // 2)
+            grid_im = _shift2(_fold_wraps(plan, grid_im), N // 2)
+            # N^2 * ifft2 == unnormalized inverse DFT (sign=+1)
+            img_re, img_im = fft2_split(grid_re, grid_im, arrays, sign=+1)
+            img_re = _shift2(img_re, N // 2)[
+                crop0 : crop0 + npix, crop0 : crop0 + npix
+            ]
+            img_im = _shift2(img_im, N // 2)[
+                crop0 : crop0 + npix, crop0 : crop0 + npix
+            ]
             if plan.wstacking:
-                img = img * jnp.exp(
-                    (-2j * np.pi * w_p) * arrays["nm1s"]
-                )
-            return image_accum + img, None
+                theta = (-2.0 * np.pi * w_p) * arrays["nm1s"]
+                # Only the real part survives the plane sum
+                contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(theta)
+            else:
+                contrib = img_re
+            return image_accum + contrib, None
 
         image, _ = lax.scan(
             plane_body,
-            jnp.zeros((npix, npix), jnp.complex64),
+            jnp.zeros((npix, npix), jnp.float32),
             jnp.arange(plan.nplanes),
         )
-        return jnp.real(image) * arrays["inv_corr"]
+        return image * arrays["inv_corr"]
 
     return invert
 
 
 def build_predict(plan: GridderPlan):
     """
-    Returns a jitted ``predict(arrays, image) -> vis_flat``: the exact
-    adjoint of :func:`build_invert`'s operator, i.e. the degridding /
-    forward model (``dirty2ms`` analog) producing flattened
-    (row * chan) complex64 visibilities from a real image.
+    Returns a jitted ``predict(arrays, image) -> (vis_re, vis_im)``:
+    the exact adjoint of :func:`build_invert`'s operator, i.e. the
+    degridding / forward model (``dirty2ms`` analog) producing
+    flattened (row * chan) split visibilities from a real image.
     """
     P, B, W = plan.patch, plan.block, plan.support
     N, npix = plan.ngrid, plan.num_pixels
@@ -258,27 +292,37 @@ def build_predict(plan: GridderPlan):
     def predict(arrays: dict, image):
         img0 = jnp.asarray(image, jnp.float32) * arrays["inv_corr"]
 
-        def plane_body(vis_sorted, p):
+        def plane_body(carry, p):
+            acc_re, acc_im = carry
             w_p = arrays["plane_w"][p]
             active_row = arrays["active_table"][p]
 
-            img_p = img0.astype(jnp.complex64)
             if plan.wstacking:
-                img_p = img_p * jnp.exp(
-                    (2j * np.pi * w_p) * arrays["nm1s"]
-                )
-            padded = jnp.zeros((N, N), jnp.complex64)
-            padded = lax.dynamic_update_slice(
-                padded, img_p, (crop0, crop0)
-            )
-            grid = jnp.fft.fftshift(
-                jnp.fft.fft2(jnp.fft.ifftshift(padded))
-            )
-            alloc = _unfold_wraps(plan, grid)
-            alloc_re = jnp.real(alloc)
-            alloc_im = jnp.imag(alloc)
+                theta = (2.0 * np.pi * w_p) * arrays["nm1s"]
+                img_re = img0 * jnp.cos(theta)
+                img_im = img0 * jnp.sin(theta)
+            else:
+                img_re = img0
+                img_im = jnp.zeros_like(img0)
 
-            def block_body(vis_sorted, i):
+            pad_re = jnp.zeros((N, N), jnp.float32)
+            pad_im = jnp.zeros((N, N), jnp.float32)
+            pad_re = lax.dynamic_update_slice(
+                pad_re, img_re, (crop0, crop0)
+            )
+            pad_im = lax.dynamic_update_slice(
+                pad_im, img_im, (crop0, crop0)
+            )
+            pad_re = _shift2(pad_re, N // 2)
+            pad_im = _shift2(pad_im, N // 2)
+            grid_re, grid_im = fft2_split(pad_re, pad_im, arrays, sign=-1)
+            grid_re = _shift2(grid_re, N // 2)
+            grid_im = _shift2(grid_im, N // 2)
+            alloc_re = _unfold_wraps(plan, grid_re)
+            alloc_im = _unfold_wraps(plan, grid_im)
+
+            def block_body(carry, i):
+                acc_re, acc_im = carry
                 bidx = active_row[i]
                 valid = bidx >= 0
                 b = jnp.maximum(bidx, 0)
@@ -297,41 +341,49 @@ def build_predict(plan: GridderPlan):
                 patch_im = lax.dynamic_slice(alloc_im, (ox, oy), (P, P))
                 tmp_re = jnp.matmul(ax, patch_re, precision=_HIGHEST)
                 tmp_im = jnp.matmul(ax, patch_im, precision=_HIGHEST)
-                contrib = (
-                    jnp.sum(tmp_re * ay, axis=1)
-                    + 1j * jnp.sum(tmp_im * ay, axis=1)
-                ) * amp
-                cur = lax.dynamic_slice(vis_sorted, (s,), (B,))
-                return (
-                    lax.dynamic_update_slice(vis_sorted, cur + contrib, (s,)),
-                    None,
+                con_re = jnp.sum(tmp_re * ay, axis=1) * amp
+                con_im = jnp.sum(tmp_im * ay, axis=1) * amp
+                cur_re = lax.dynamic_slice(acc_re, (s,), (B,))
+                cur_im = lax.dynamic_slice(acc_im, (s,), (B,))
+                acc_re = lax.dynamic_update_slice(
+                    acc_re, cur_re + con_re, (s,)
                 )
+                acc_im = lax.dynamic_update_slice(
+                    acc_im, cur_im + con_im, (s,)
+                )
+                return (acc_re, acc_im), None
 
-            vis_sorted, _ = lax.scan(
-                block_body, vis_sorted, jnp.arange(plan.max_active)
+            (acc_re, acc_im), _ = lax.scan(
+                block_body, (acc_re, acc_im), jnp.arange(plan.max_active)
             )
-            return vis_sorted, None
+            return (acc_re, acc_im), None
 
-        vis_sorted, _ = lax.scan(
-            plane_body,
-            jnp.zeros((num_slots,), jnp.complex64),
-            jnp.arange(plan.nplanes),
+        zeros = jnp.zeros((num_slots,), jnp.float32)
+        (acc_re, acc_im), _ = lax.scan(
+            plane_body, (zeros, zeros), jnp.arange(plan.nplanes)
         )
 
         if plan.wstacking:
             phase = (2.0 * np.pi * plan.n_mid) * arrays["ws"]
-            vis_sorted = vis_sorted * jnp.exp(
-                1j * phase.astype(jnp.float32)
+            cos = jnp.cos(phase)
+            sin = jnp.sin(phase)
+            acc_re, acc_im = (
+                acc_re * cos - acc_im * sin,
+                acc_re * sin + acc_im * cos,
             )
-        vis_sorted = jnp.where(
-            arrays["flip"], jnp.conj(vis_sorted), vis_sorted
-        )
+        acc_im = acc_im * arrays["flip_sign"]
         # Padded slots carry order == num_vis_data and are dropped.
-        return (
-            jnp.zeros((num_out,), jnp.complex64)
+        out_re = (
+            jnp.zeros((num_out,), jnp.float32)
             .at[arrays["order"]]
-            .set(vis_sorted, mode="drop")
+            .set(acc_re, mode="drop")
         )
+        out_im = (
+            jnp.zeros((num_out,), jnp.float32)
+            .at[arrays["order"]]
+            .set(acc_im, mode="drop")
+        )
+        return out_re, out_im
 
     return predict
 
@@ -368,11 +420,13 @@ def dirty_image(
     )
     arrays = plan_device_arrays(plan)
     invert = build_invert(plan)
-    weighted = (
-        np.asarray(visibilities, np.complex64)
-        * np.asarray(weights, np.float32)
-    ).ravel()
-    return np.asarray(invert(arrays, jnp.asarray(weighted)))
+    weighted = np.asarray(visibilities, np.complex64) * np.asarray(
+        weights, np.float32
+    )
+    vis_re, vis_im = split_complex(weighted.ravel())
+    return np.asarray(
+        invert(arrays, jnp.asarray(vis_re), jnp.asarray(vis_im))
+    )
 
 
 def predict_visibilities(
@@ -400,5 +454,8 @@ def predict_visibilities(
     )
     arrays = plan_device_arrays(plan)
     predict = build_predict(plan)
-    vis_flat = np.asarray(predict(arrays, jnp.asarray(image)))
-    return vis_flat.reshape(len(uvw), len(channel_frequencies))
+    out_re, out_im = predict(arrays, jnp.asarray(image))
+    vis = np.asarray(out_re) + 1j * np.asarray(out_im)
+    return vis.reshape(len(uvw), len(channel_frequencies)).astype(
+        np.complex64
+    )

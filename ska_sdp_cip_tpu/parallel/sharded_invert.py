@@ -33,6 +33,11 @@ from .mesh import make_device_mesh
 _REPLICATED_KEYS = ("inv_corr", "nm1s")
 
 
+def _is_replicated(key: str) -> bool:
+    """Correction maps and FFT factors are geometry-only: replicated."""
+    return key in _REPLICATED_KEYS or key.startswith("fft_")
+
+
 def shard_chunk_counts(
     num_devices: int, num_channels: int, row_chunks, freq_chunks
 ) -> tuple[int, int]:
@@ -124,7 +129,7 @@ def sharded_invert_dataset(
         arrays_per_shard = [plan_device_arrays(plan) for plan in plans]
         stacked = {}
         for key in arrays_per_shard[0]:
-            if key in _REPLICATED_KEYS:
+            if _is_replicated(key):
                 stacked[key] = arrays_per_shard[0][key]
             else:
                 stacked[key] = jnp.stack(
@@ -132,34 +137,39 @@ def sharded_invert_dataset(
                 )
 
         num_vis = plans[0].num_vis
-        vis_stacked = np.zeros((num_devices, num_vis), np.complex64)
+        # Split (re, im) float32: the TPU compute path is complex-free.
+        vis_re = np.zeros((num_devices, num_vis), np.float32)
+        vis_im = np.zeros((num_devices, num_vis), np.float32)
         total_weight = 0.0
         for i, shard in enumerate(shards):
             weighted = (
                 shard.visibilities.astype(np.complex64)
                 * shard.effective_weights().astype(np.float32)
             ).ravel()
-            vis_stacked[i, : len(weighted)] = weighted
+            vis_re[i, : len(weighted)] = weighted.real
+            vis_im[i, : len(weighted)] = weighted.imag
             total_weight += float(shard.effective_weights().sum())
-        vis_stacked = jnp.asarray(vis_stacked)
+        vis_re = jnp.asarray(vis_re)
+        vis_im = jnp.asarray(vis_im)
 
     # -- one SPMD program over the mesh --------------------------------
     invert = build_invert(plans[0])
 
     in_specs = (
         {
-            key: P() if key in _REPLICATED_KEYS else P(axis_name)
+            key: P() if _is_replicated(key) else P(axis_name)
             for key in stacked
         },
         P(axis_name),
+        P(axis_name),
     )
 
-    def shard_fn(arrays, vis):
+    def shard_fn(arrays, vre, vim):
         arrays = {
-            key: value if key in _REPLICATED_KEYS else value[0]
+            key: value if _is_replicated(key) else value[0]
             for key, value in arrays.items()
         }
-        image = invert(arrays, vis[0])
+        image = invert(arrays, vre[0], vim[0])
         return jax.lax.psum(image, axis_name)
 
     with step("grid_fft_reduce"):
@@ -174,6 +184,8 @@ def sharded_invert_dataset(
                 check_vma=False,
             )
         )
-        image = np.asarray(jax.block_until_ready(spmd(stacked, vis_stacked)))
+        image = np.asarray(
+            jax.block_until_ready(spmd(stacked, vis_re, vis_im))
+        )
 
     return image / total_weight

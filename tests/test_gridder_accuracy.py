@@ -90,6 +90,8 @@ def test_predict_is_adjoint_of_invert(small_vis, apply_w):
     """
     import jax.numpy as jnp
 
+    from ska_sdp_cip_tpu.ops.gridder import split_complex
+
     uvw, freqs, vis, wgt = small_vis
     plan = make_plan(
         uvw,
@@ -105,10 +107,17 @@ def test_predict_is_adjoint_of_invert(small_vis, apply_w):
 
     rng = np.random.default_rng(7)
     vis_flat = (vis * wgt).ravel().astype(np.complex64)
+    vr, vi = split_complex(vis_flat)
+    padded = np.zeros(plan.num_vis, np.float32)
+    vr_pad, vi_pad = padded.copy(), padded.copy()
+    vr_pad[: len(vr)], vi_pad[: len(vi)] = vr, vi
     image = rng.normal(size=(NPIX, NPIX)).astype(np.float32)
 
-    dirty = np.asarray(invert(arrays, jnp.asarray(vis_flat)))
-    model_vis = np.asarray(predict(arrays, jnp.asarray(image)))
+    dirty = np.asarray(
+        invert(arrays, jnp.asarray(vr_pad), jnp.asarray(vi_pad))
+    )
+    out_re, out_im = predict(arrays, jnp.asarray(image))
+    model_vis = np.asarray(out_re) + 1j * np.asarray(out_im)
 
     lhs = float(np.vdot(image, dirty))
     rhs = float(np.real(np.vdot(model_vis, vis_flat)))
