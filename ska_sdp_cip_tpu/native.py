@@ -1,0 +1,184 @@
+"""
+ctypes bindings for the native C++ planning engine (native/cip_native.cpp).
+
+Loaded lazily; every entry point has a numpy fallback in ops/plan.py,
+so the framework runs without the shared library (e.g. before
+``make -C native``). pybind11 is deliberately not used — the C ABI +
+ctypes keeps the boundary dependency-free.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_SEARCHED = False
+
+_LIB_LOCATIONS = (
+    Path(__file__).resolve().parent.parent / "native" / "libcipnative.so",
+    Path(__file__).resolve().parent / "libcipnative.so",
+)
+
+
+def load_library():
+    """The native library, or None when unavailable."""
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    for location in _LIB_LOCATIONS:
+        if location.is_file():
+            try:
+                _LIB = ctypes.CDLL(str(location))
+                break
+            except OSError:
+                continue
+    if _LIB is not None:
+        _declare(_LIB)
+    return _LIB
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _declare(lib) -> None:
+    import ctypes as ct
+
+    dp = ct.POINTER(ct.c_double)
+    fp = ct.POINTER(ct.c_float)
+    i64p = ct.POINTER(ct.c_int64)
+    i32p = ct.POINTER(ct.c_int32)
+    u8p = ct.POINTER(ct.c_uint8)
+
+    lib.cip_w_minmax.argtypes = [dp, ct.c_int64, dp, ct.c_int64, dp, dp]
+    lib.cip_plan_arrays.argtypes = [
+        dp, ct.c_int64, dp, ct.c_int64, ct.c_double, ct.c_int64,
+        ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int, ct.c_double,
+        ct.c_double, ct.c_int64,
+        u8p, i32p, i32p, fp, fp, fp, i64p,
+    ]
+    lib.cip_argsort_i64.argtypes = [i64p, ct.c_int64, i64p]
+    lib.cip_gather_f32.argtypes = [fp, i64p, ct.c_int64, fp]
+    lib.cip_gather_i32.argtypes = [i32p, i64p, ct.c_int64, i32p]
+    lib.cip_gather_u8.argtypes = [u8p, i64p, ct.c_int64, u8p]
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def w_minmax(uvw: np.ndarray, freqs: np.ndarray) -> tuple:
+    lib = load_library()
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    freqs = np.ascontiguousarray(freqs, np.float64)
+    lo = ctypes.c_double()
+    hi = ctypes.c_double()
+    lib.cip_w_minmax(
+        _ptr(uvw, ctypes.c_double),
+        len(uvw),
+        _ptr(freqs, ctypes.c_double),
+        len(freqs),
+        ctypes.byref(lo),
+        ctypes.byref(hi),
+    )
+    return lo.value, hi.value
+
+
+def plan_arrays(
+    uvw: np.ndarray,
+    freqs: np.ndarray,
+    *,
+    inv_du: float,
+    ngrid: int,
+    support: int,
+    tile_cells: int,
+    ntiles: int,
+    wstacking: bool,
+    w0_plane: float,
+    dw: float,
+    nplanes: int,
+) -> dict:
+    """Fused per-sample plan arrays + composite sort key."""
+    lib = load_library()
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    freqs = np.ascontiguousarray(freqs, np.float64)
+    n = len(uvw) * len(freqs)
+    out = {
+        "flip": np.empty(n, np.uint8),
+        "x0": np.empty(n, np.int32),
+        "y0": np.empty(n, np.int32),
+        "fx": np.empty(n, np.float32),
+        "fy": np.empty(n, np.float32),
+        "ws": np.empty(n, np.float32),
+        "key": np.empty(n, np.int64),
+    }
+    lib.cip_plan_arrays(
+        _ptr(uvw, ctypes.c_double),
+        len(uvw),
+        _ptr(freqs, ctypes.c_double),
+        len(freqs),
+        ctypes.c_double(inv_du),
+        ngrid,
+        support,
+        tile_cells,
+        ntiles,
+        int(wstacking),
+        ctypes.c_double(w0_plane),
+        ctypes.c_double(1.0 / dw),
+        nplanes,
+        _ptr(out["flip"], ctypes.c_uint8),
+        _ptr(out["x0"], ctypes.c_int32),
+        _ptr(out["y0"], ctypes.c_int32),
+        _ptr(out["fx"], ctypes.c_float),
+        _ptr(out["fy"], ctypes.c_float),
+        _ptr(out["ws"], ctypes.c_float),
+        _ptr(out["key"], ctypes.c_int64),
+    )
+    return out
+
+
+def argsort_i64(keys: np.ndarray) -> np.ndarray:
+    lib = load_library()
+    keys = np.ascontiguousarray(keys, np.int64)
+    order = np.empty(len(keys), np.int64)
+    lib.cip_argsort_i64(
+        _ptr(keys, ctypes.c_int64), len(keys), _ptr(order, ctypes.c_int64)
+    )
+    return order
+
+
+def gather(src: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """out[i] = src[order[i]] via the multithreaded native gather."""
+    lib = load_library()
+    order = np.ascontiguousarray(order, np.int64)
+    src = np.ascontiguousarray(src)
+    out = np.empty(len(order), src.dtype)
+    n = len(order)
+    if src.dtype == np.float32:
+        lib.cip_gather_f32(
+            _ptr(src, ctypes.c_float),
+            _ptr(order, ctypes.c_int64),
+            n,
+            _ptr(out, ctypes.c_float),
+        )
+    elif src.dtype == np.int32:
+        lib.cip_gather_i32(
+            _ptr(src, ctypes.c_int32),
+            _ptr(order, ctypes.c_int64),
+            n,
+            _ptr(out, ctypes.c_int32),
+        )
+    elif src.dtype == np.uint8:
+        lib.cip_gather_u8(
+            _ptr(src, ctypes.c_uint8),
+            _ptr(order, ctypes.c_int64),
+            n,
+            _ptr(out, ctypes.c_uint8),
+        )
+    else:
+        out = src[order]
+    return out

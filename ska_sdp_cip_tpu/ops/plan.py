@@ -278,27 +278,36 @@ def make_plan(
     ngrid = next_even_grid_size(int(np.ceil(sigma * num_pixels)))
     du = 1.0 / (ngrid * pixel_size_lm)
 
-    # Flattened per-sample coordinates in wavelengths: (nrow * nchan,)
-    scale = freqs / SPEED_OF_LIGHT
-    u = np.multiply.outer(uvw[:, 0], scale).ravel()
-    v = np.multiply.outer(uvw[:, 1], scale).ravel()
-    w = np.multiply.outer(uvw[:, 2], scale).ravel()
-    num_vis = len(u)
+    from .. import native as _native
 
-    # Flip to w >= 0 (dirty image is real; V(-u,-v,-w) = conj(V))
-    flip = w < 0
-    u = np.where(flip, -u, u)
-    v = np.where(flip, -v, v)
-    w = np.where(flip, -w, w)
+    num_vis = len(uvw) * len(freqs)
+    use_native = _native.available() and num_vis > 0
+
+    if use_native:
+        # Native engine computes per-sample arrays later in one fused
+        # multithreaded pass; only the |w| range is needed here.
+        wmin, wmax = _native.w_minmax(uvw, freqs)
+        u = v = w = flip = None
+    else:
+        # Flattened per-sample coordinates in wavelengths
+        scale = freqs / SPEED_OF_LIGHT
+        u = np.multiply.outer(uvw[:, 0], scale).ravel()
+        v = np.multiply.outer(uvw[:, 1], scale).ravel()
+        w = np.multiply.outer(uvw[:, 2], scale).ravel()
+
+        # Flip to w >= 0 (dirty image is real; V(-u,-v,-w) = conj(V))
+        flip = w < 0
+        u = np.where(flip, -u, u)
+        v = np.where(flip, -v, v)
+        w = np.where(flip, -w, w)
+        wmin = float(w.min()) if num_vis else 0.0
+        wmax = float(w.max()) if num_vis else 0.0
 
     # --- w-plane setup -------------------------------------------------
     half_fov = (num_pixels / 2) * pixel_size_lm
     corner_r2 = min(2.0 * half_fov * half_fov, 0.999)
     nm1_min = -corner_r2 / (1.0 + np.sqrt(1.0 - corner_r2))
     n_mid = nm1_min / 2.0  # centre the nm1 band ("w-shift")
-
-    wmin = float(w.min()) if num_vis else 0.0
-    wmax = float(w.max()) if num_vis else 0.0
     wstacking = bool(do_wstacking) and abs(nm1_min) > 0
 
     if wstacking:
@@ -318,10 +327,9 @@ def make_plan(
     tile = patch - support + 1
     half = support // 2
 
-    # Continuous grid coordinates, wrapped into [0, ngrid), then offset
-    # by W into the padded "alloc" frame so footprints never go negative.
-    x = np.mod(u / du + ngrid / 2.0, ngrid) + support
-    y = np.mod(v / du + ngrid / 2.0, ngrid) + support
+    # Continuous grid coordinates are wrapped into [0, ngrid), then
+    # offset by W into the padded "alloc" frame so footprints never go
+    # negative (computed in the numpy or native branch below).
     nalloc_min = ngrid + 2 * support
     ntiles = max(int(np.ceil((nalloc_min - support + 1) / tile)), 1)
     nalloc = ntiles * tile + support - 1
@@ -329,26 +337,58 @@ def make_plan(
         ntiles += 1
         nalloc = ntiles * tile + support - 1
 
-    # Footprint start cell: W consecutive cells centred on the
-    # coordinate: x0 = floor(x) - W/2 + 1
-    x0 = np.floor(x).astype(np.int64) - half + 1
-    y0 = np.floor(y).astype(np.int64) - half + 1
-    tx = x0 // tile
-    ty = y0 // tile
-    tile_id = tx * ntiles + ty
-
-    if wstacking:
-        wbin = np.floor((w - w0_plane) / dw + 0.5).astype(np.int64)
-        wbin = np.clip(wbin, 0, nplanes - 1)
+    if use_native:
+        cols = _native.plan_arrays(
+            uvw,
+            freqs,
+            inv_du=1.0 / du,
+            ngrid=ngrid,
+            support=support,
+            tile_cells=tile,
+            ntiles=ntiles,
+            wstacking=wstacking,
+            w0_plane=w0_plane,
+            dw=dw,
+            nplanes=nplanes,
+        )
+        # Stable sort by the composite (tile, wbin) key
+        order = _native.argsort_i64(cols["key"])
+        key_sorted = cols["key"][order]
+        tile_sorted = key_sorted // nplanes
+        wbin_sorted = key_sorted % nplanes
+        x0_sorted = _native.gather(cols["x0"], order)
+        y0_sorted = _native.gather(cols["y0"], order)
+        fx_sorted = _native.gather(cols["fx"], order)
+        fy_sorted = _native.gather(cols["fy"], order)
+        ws_sorted = _native.gather(cols["ws"], order)
+        flip_sorted = _native.gather(cols["flip"], order).astype(bool)
     else:
-        wbin = np.zeros(num_vis, dtype=np.int64)
+        # Footprint start cell: W consecutive cells centred on the
+        # coordinate: x0 = floor(x) - W/2 + 1
+        x = np.mod(u / du + ngrid / 2.0, ngrid) + support
+        y = np.mod(v / du + ngrid / 2.0, ngrid) + support
+        x0 = np.floor(x).astype(np.int64) - half + 1
+        y0 = np.floor(y).astype(np.int64) - half + 1
+        tile_id = (x0 // tile) * ntiles + (y0 // tile)
 
-    # Sort by (tile, wbin): tile-major so each block has one patch
-    # origin; wbin-minor so a block's w extent (hence the set of planes
-    # it touches) stays narrow.
-    order = np.lexsort((wbin, tile_id))
-    tile_sorted = tile_id[order]
-    wbin_sorted = wbin[order]
+        if wstacking:
+            wbin = np.floor((w - w0_plane) / dw + 0.5).astype(np.int64)
+            wbin = np.clip(wbin, 0, nplanes - 1)
+        else:
+            wbin = np.zeros(num_vis, dtype=np.int64)
+
+        # Sort by (tile, wbin): tile-major so each block has one patch
+        # origin; wbin-minor so a block's w extent (hence the set of
+        # planes it touches) stays narrow.
+        order = np.lexsort((wbin, tile_id))
+        tile_sorted = tile_id[order]
+        wbin_sorted = wbin[order]
+        x0_sorted = x0[order].astype(np.int32)
+        y0_sorted = y0[order].astype(np.int32)
+        fx_sorted = (x - x0)[order].astype(np.float32)
+        fy_sorted = (y - y0)[order].astype(np.float32)
+        ws_sorted = w[order].astype(np.float32)
+        flip_sorted = flip[order]
 
     # --- block decomposition -------------------------------------------
     if num_vis:
@@ -407,10 +447,10 @@ def make_plan(
     # slices of length B never run out of bounds. Padded slots carry
     # order == num_vis (dropped on scatter, clamped on gather) and are
     # masked off by every block's length.
-    def _sorted_padded(values, pad_value, dtype):
+    def _sorted_padded(sorted_values, pad_value, dtype):
         out = np.full(num_vis + block, pad_value, dtype=dtype)
         if num_vis:
-            out[:num_vis] = values[order]
+            out[:num_vis] = sorted_values
         return out
 
     return GridderPlan(
@@ -436,12 +476,12 @@ def make_plan(
         order=np.concatenate(
             [order, np.full(block, num_vis)]
         ).astype(np.int32),
-        flip=_sorted_padded(flip, False, bool),
-        x0=_sorted_padded(x0, support, np.int32),
-        y0=_sorted_padded(y0, support, np.int32),
-        fx=_sorted_padded(x - x0, 0.5, np.float32),
-        fy=_sorted_padded(y - y0, 0.5, np.float32),
-        ws=_sorted_padded(w, 0.0, np.float32),
+        flip=_sorted_padded(flip_sorted, False, bool),
+        x0=_sorted_padded(x0_sorted, support, np.int32),
+        y0=_sorted_padded(y0_sorted, support, np.int32),
+        fx=_sorted_padded(fx_sorted, 0.5, np.float32),
+        fy=_sorted_padded(fy_sorted, 0.5, np.float32),
+        ws=_sorted_padded(ws_sorted, 0.0, np.float32),
         block_start=_pad(block_start, np.int32),
         block_len=_pad(block_len, np.int32),
         block_ox=_pad(block_ox, np.int32),
