@@ -77,16 +77,41 @@ def main() -> None:
     re_dev = jnp.asarray(re_pad)
     im_dev = jnp.asarray(im_pad)
 
-    # Warmup (compile)
+    # On the axon relay, execution is lazy until a device->host fetch:
+    # block_until_ready does NOT synchronize. Chain CHAIN inverts with
+    # a serial data dependency inside one jit and time through a
+    # scalar fetch, so per-invert time is (total - fetch) / CHAIN.
+    CHAIN = 8
+
+    @jax.jit
+    def invert_chain(arrays, re, im):
+        def body(_, acc):
+            # acc-dependent perturbation defeats CSE across iterations
+            out = invert(arrays, re * (1.0 + acc * 1e-30), im)
+            return out[0, 0]
+
+        acc = jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+        return acc, invert(arrays, re, im)
+
+    # Warmup (compile + first execution + first fetch)
     t_compile = time.time()
-    image = jax.block_until_ready(invert(arrays, re_dev, im_dev))
+    acc, image = invert_chain(arrays, re_dev, im_dev)
+    _ = float(np.asarray(acc))
     compile_seconds = time.time() - t_compile
+
+    # Fetch overhead: a trivial jitted scalar round trip
+    t_fetch = time.time()
+    _ = float(np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))))
+    fetch_seconds = time.time() - t_fetch
 
     times = []
     for _ in range(REPEATS):
         start = time.time()
-        image = jax.block_until_ready(invert(arrays, re_dev, im_dev))
-        times.append(time.time() - start)
+        acc, image = invert_chain(arrays, re_dev, im_dev)
+        _ = float(np.asarray(acc))
+        times.append(
+            max(time.time() - start - fetch_seconds, 1e-9) / (CHAIN + 1)
+        )
     best = min(times)
 
     num_vis = plan.num_vis_data
@@ -108,6 +133,7 @@ def main() -> None:
         "max_active": plan.max_active,
         "plan_seconds": round(plan_seconds, 2),
         "compile_seconds": round(compile_seconds, 2),
+        "fetch_seconds": round(fetch_seconds, 4),
         "invert_seconds_best": round(best, 4),
         "invert_seconds_all": [round(t, 4) for t in times],
         "image_max": float(np.asarray(jnp.max(image))),

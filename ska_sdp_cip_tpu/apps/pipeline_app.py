@@ -70,6 +70,34 @@ def get_parser() -> argparse.ArgumentParser:
         help="Disable w-stacking (narrow-field imaging)",
     )
 
+    clean_group = parser.add_argument_group("deconvolution")
+    clean_group.add_argument(
+        "--clean",
+        type=int,
+        default=0,
+        metavar="N",
+        help="Run N CLEAN major cycles after the dirty image; writes "
+        "<output>.model.npy and <output>.residual.npy",
+    )
+    clean_group.add_argument(
+        "--gain",
+        type=float,
+        default=0.1,
+        help="CLEAN loop gain",
+    )
+    clean_group.add_argument(
+        "--minor-iter",
+        type=int,
+        default=100,
+        help="Hogbom iterations per major cycle",
+    )
+    clean_group.add_argument(
+        "--checkpoint-dir",
+        type=Path,
+        default=None,
+        help="Checkpoint/resume directory for the major cycle",
+    )
+
     dist_group = parser.add_argument_group("distribution")
     dist_group.add_argument(
         "-d",
@@ -152,6 +180,35 @@ def run_program(cli_args: list[str]) -> None:
             profile_ctx.__exit__(None, None, None)
 
     np.save(args.output_image.with_suffix(".npy"), image)
+
+    if args.clean > 0:
+        from ..invert import (
+            StokesIGridderInput,
+            pixel_size_lm_from_asec,
+        )
+        from ..models import MeasurementOperator, major_cycle_clean
+
+        gridder_input = StokesIGridderInput.from_reader(reader)
+        operator = MeasurementOperator.build(
+            gridder_input.uvw,
+            gridder_input.channel_frequencies,
+            gridder_input.effective_weights(),
+            args.num_pixels,
+            pixel_size_lm_from_asec(args.pixel_size),
+            epsilon=args.epsilon,
+            do_wstacking=not args.no_wstacking,
+        )
+        model, residual = major_cycle_clean(
+            operator,
+            gridder_input.visibilities.ravel(),
+            num_major=args.clean,
+            gain=args.gain,
+            minor_iter=args.minor_iter,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        base = args.output_image.with_suffix("")
+        np.save(base.with_suffix(".model.npy"), np.asarray(model))
+        np.save(base.with_suffix(".residual.npy"), np.asarray(residual))
 
 
 def main() -> None:

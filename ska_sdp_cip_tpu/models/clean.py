@@ -93,16 +93,23 @@ def major_cycle_clean(
     gain: float = 0.1,
     minor_iter: int = 100,
     threshold_factor: float = 0.0,
+    checkpoint_dir=None,
 ):
     """
     Cotton-Schwab major cycle: each cycle computes the exact residual
     image through the measurement operator and runs a Hogbom minor
     cycle on it.
 
+    With ``checkpoint_dir``, state is persisted after every cycle and
+    a matching prior checkpoint resumes the run (SIGTERM mid-cycle
+    flushes the latest completed state first) — see
+    models/checkpoint.py.
+
     Returns ``(model, residual_image)``. The model is the CLEAN
     component image; ``model + residual`` approximates the
     deconvolved sky (restoring-beam convolution left to the caller).
     """
+    from .checkpoint import MajorCycleCheckpoint, graceful_shutdown
     from .operators import as_split_pair
 
     vis = as_split_pair(vis)
@@ -111,18 +118,53 @@ def major_cycle_clean(
         (operator.plan.num_pixels, operator.plan.num_pixels), jnp.float32
     )
 
-    residual_image = operator.dirty_image(vis)
-    for _ in range(num_major):
-        threshold = threshold_factor * jnp.max(jnp.abs(residual_image))
-        delta, _ = hogbom_clean(
-            residual_image,
-            psf,
-            gain=gain,
-            max_iter=minor_iter,
-            threshold=float(threshold),
+    checkpoint = None
+    start_cycle = 0
+    residual_image = None
+    if checkpoint_dir is not None:
+        checkpoint = MajorCycleCheckpoint(
+            checkpoint_dir,
+            {
+                "num_pixels": operator.plan.num_pixels,
+                "num_vis": operator.plan.num_vis_data,
+                "num_major": num_major,
+                "gain": gain,
+                "minor_iter": minor_iter,
+            },
         )
-        model = model + delta
-        residual_image = -operator.residual_gradient(model, vis)
+        restored = checkpoint.load()
+        if restored is not None:
+            start_cycle, model_np, residual_np = restored
+            model = jnp.asarray(model_np)
+            residual_image = jnp.asarray(residual_np)
+
+    if residual_image is None:
+        residual_image = operator.dirty_image(vis)
+
+    state = {"cycle": start_cycle, "model": model, "res": residual_image}
+
+    def flush():
+        if checkpoint is not None:
+            checkpoint.save(state["cycle"], state["model"], state["res"])
+
+    with graceful_shutdown(flush):
+        for cycle in range(start_cycle, num_major):
+            threshold = threshold_factor * jnp.max(
+                jnp.abs(residual_image)
+            )
+            delta, _ = hogbom_clean(
+                residual_image,
+                psf,
+                gain=gain,
+                max_iter=minor_iter,
+                threshold=float(threshold),
+            )
+            model = model + delta
+            residual_image = -operator.residual_gradient(model, vis)
+            state.update(
+                cycle=cycle + 1, model=model, res=residual_image
+            )
+            flush()
     return model, residual_image
 
 

@@ -47,6 +47,16 @@ SPEED_OF_LIGHT = 299792458.0
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+#: Blocks processed per scan step: their patch matmuls run as one
+#: batched MXU contraction; their grid updates are a short inner loop.
+#: Amortizes scan-step overhead ~G-fold.
+BLOCK_GROUP = 8
+
+
+def _padded_active(plan: GridderPlan) -> int:
+    """Active-table width padded to a whole number of block groups."""
+    return -(-plan.max_active // BLOCK_GROUP) * BLOCK_GROUP
+
 
 def split_complex(vis) -> tuple:
     """Host-side split of a complex array into (re, im) float32."""
@@ -96,7 +106,16 @@ def plan_device_arrays(plan: GridderPlan) -> dict:
         "block_len": jnp.asarray(plan.block_len),
         "block_ox": jnp.asarray(plan.block_ox),
         "block_oy": jnp.asarray(plan.block_oy),
-        "active_table": jnp.asarray(plan.active_table),
+        "active_table": jnp.asarray(
+            np.pad(
+                plan.active_table,
+                ((0, 0), (0, _padded_active(plan) - plan.max_active)),
+                constant_values=-1,
+            )
+        ),
+        "active_count": jnp.asarray(
+            np.sum(plan.active_table >= 0, axis=1).astype(np.int32)
+        ),
         "plane_w": jnp.asarray(plan.plane_w),
         "inv_corr": jnp.asarray(inv_corr, dtype=jnp.float32),
         "nm1s": jnp.asarray(nm1 - plan.n_mid, dtype=jnp.float32),
@@ -122,35 +141,45 @@ def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_re, vis_im):
     return re, im
 
 
-def _kernel_matrices(plan: GridderPlan, arrays: dict, b, ox, oy):
+def _slice_group(column, starts, size):
+    """Gather G dynamic windows of ``size`` from a 1-D column: (G, size)."""
+    return jax.vmap(
+        lambda s: lax.dynamic_slice(column, (s,), (size,))
+    )(starts)
+
+
+def _group_kernel_matrices(plan: GridderPlan, arrays: dict, bs):
     """
-    Banded kernel matrices Ax, Ay of shape (B, P) for block slot ``b``,
-    plus per-visibility lane data (start index, lane mask, w coords).
+    Banded kernel matrices Ax, Ay of shape (G, B, P) for a group of
+    block slots ``bs``, plus per-block metadata: vis start indices,
+    lane masks, w coords, and patch origins.
     """
     P, B, W = plan.patch, plan.block, plan.support
-    s = arrays["block_start"][b]
-    length = arrays["block_len"][b]
+    s = arrays["block_start"][bs]
+    length = arrays["block_len"][bs]
+    ox = arrays["block_ox"][bs]
+    oy = arrays["block_oy"][bs]
 
-    x0 = lax.dynamic_slice(arrays["x0"], (s,), (B,))
-    y0 = lax.dynamic_slice(arrays["y0"], (s,), (B,))
-    fx = lax.dynamic_slice(arrays["fx"], (s,), (B,))
-    fy = lax.dynamic_slice(arrays["fy"], (s,), (B,))
-    ws = lax.dynamic_slice(arrays["ws"], (s,), (B,))
+    x0 = _slice_group(arrays["x0"], s, B)
+    y0 = _slice_group(arrays["y0"], s, B)
+    fx = _slice_group(arrays["fx"], s, B)
+    fy = _slice_group(arrays["fy"], s, B)
+    ws = _slice_group(arrays["ws"], s, B)
 
     iota = jnp.arange(P, dtype=jnp.int32)
     # Footprint-relative cell index (patch cell minus footprint start):
     # exact in int32, so kernel arguments keep full f32 precision on
     # arbitrarily large grids.
-    rx = iota[None, :] - (x0 - ox)[:, None]
-    ry = iota[None, :] - (y0 - oy)[:, None]
+    rx = iota[None, None, :] - (x0 - ox[:, None])[:, :, None]
+    ry = iota[None, None, :] - (y0 - oy[:, None])[:, :, None]
     inv_half = jnp.float32(2.0 / W)
-    zx = (rx.astype(jnp.float32) - fx[:, None]) * inv_half
-    zy = (ry.astype(jnp.float32) - fy[:, None]) * inv_half
+    zx = (rx.astype(jnp.float32) - fx[:, :, None]) * inv_half
+    zy = (ry.astype(jnp.float32) - fy[:, :, None]) * inv_half
     ax = es_kernel_jnp(zx, plan.beta)
     ay = es_kernel_jnp(zy, plan.beta)
 
-    lane = jnp.arange(B, dtype=jnp.int32) < length
-    return ax, ay, s, lane, ws
+    lane = jnp.arange(B, dtype=jnp.int32)[None, :] < length[:, None]
+    return ax, ay, s, lane, ws, ox, oy
 
 
 def _fold_wraps(plan: GridderPlan, grid):
@@ -193,9 +222,11 @@ def build_invert(plan: GridderPlan):
     (reference: invert.py:119-149).
     """
     P, B, W = plan.patch, plan.block, plan.support
+    G = BLOCK_GROUP
     N, NA, npix = plan.ngrid, plan.nalloc, plan.num_pixels
     crop0 = (N - npix) // 2
     inv_whalf = 2.0 / (W * plan.dw)
+    num_chunks = _padded_active(plan) // G
 
     @jax.jit
     def invert(arrays: dict, vis_re, vis_im):
@@ -204,47 +235,72 @@ def build_invert(plan: GridderPlan):
         def plane_body(image_accum, p):
             w_p = arrays["plane_w"][p]
             active_row = arrays["active_table"][p]
+            active_count = arrays["active_count"][p]
 
-            def block_body(carry, i):
-                grid_re, grid_im = carry
-                bidx = active_row[i]
-                valid = bidx >= 0
-                b = jnp.maximum(bidx, 0)
-                ox = arrays["block_ox"][b]
-                oy = arrays["block_oy"][b]
-                ax, ay, s, lane, ws = _kernel_matrices(
-                    plan, arrays, b, ox, oy
-                )
-                if plan.wstacking:
-                    kw = es_kernel_jnp((w_p - ws) * inv_whalf, plan.beta)
-                else:
-                    kw = jnp.ones_like(ws)
-                amp = jnp.where(lane & valid, kw, 0.0)
-                val_re = lax.dynamic_slice(re, (s,), (B,)) * amp
-                val_im = lax.dynamic_slice(im, (s,), (B,)) * amp
+            def chunk_body(carry, ci):
+                start = ci * G
 
-                patch_re = jnp.matmul(
-                    ax.T, val_re[:, None] * ay, precision=_HIGHEST
+                def run(carry):
+                    grid_re, grid_im = carry
+                    idxs = lax.dynamic_slice(active_row, (start,), (G,))
+                    valid = idxs >= 0
+                    bs = jnp.maximum(idxs, 0)
+                    ax, ay, s, lane, ws, ox, oy = _group_kernel_matrices(
+                        plan, arrays, bs
+                    )
+                    if plan.wstacking:
+                        kw = es_kernel_jnp(
+                            (w_p - ws) * inv_whalf, plan.beta
+                        )
+                    else:
+                        kw = jnp.ones_like(ws)
+                    amp = jnp.where(lane & valid[:, None], kw, 0.0)
+                    val_re = _slice_group(re, s, B) * amp
+                    val_im = _slice_group(im, s, B) * amp
+
+                    # Batched MXU contraction: one (G, P, B) x (G, B, P)
+                    patch_re = jnp.einsum(
+                        "gbp,gbq->gpq",
+                        ax * val_re[:, :, None],
+                        ay,
+                        precision=_HIGHEST,
+                    )
+                    patch_im = jnp.einsum(
+                        "gbp,gbq->gpq",
+                        ax * val_im[:, :, None],
+                        ay,
+                        precision=_HIGHEST,
+                    )
+
+                    def add_one(g, carry):
+                        grid_re, grid_im = carry
+                        cur_re = lax.dynamic_slice(
+                            grid_re, (ox[g], oy[g]), (P, P)
+                        )
+                        cur_im = lax.dynamic_slice(
+                            grid_im, (ox[g], oy[g]), (P, P)
+                        )
+                        grid_re = lax.dynamic_update_slice(
+                            grid_re, cur_re + patch_re[g], (ox[g], oy[g])
+                        )
+                        grid_im = lax.dynamic_update_slice(
+                            grid_im, cur_im + patch_im[g], (ox[g], oy[g])
+                        )
+                        return grid_re, grid_im
+
+                    return lax.fori_loop(0, G, add_one, carry)
+
+                carry = lax.cond(
+                    start < active_count, run, lambda c: c, carry
                 )
-                patch_im = jnp.matmul(
-                    ax.T, val_im[:, None] * ay, precision=_HIGHEST
-                )
-                cur_re = lax.dynamic_slice(grid_re, (ox, oy), (P, P))
-                cur_im = lax.dynamic_slice(grid_im, (ox, oy), (P, P))
-                grid_re = lax.dynamic_update_slice(
-                    grid_re, cur_re + patch_re, (ox, oy)
-                )
-                grid_im = lax.dynamic_update_slice(
-                    grid_im, cur_im + patch_im, (ox, oy)
-                )
-                return (grid_re, grid_im), None
+                return carry, None
 
             grid0 = (
                 jnp.zeros((NA, NA), jnp.float32),
                 jnp.zeros((NA, NA), jnp.float32),
             )
             (grid_re, grid_im), _ = lax.scan(
-                block_body, grid0, jnp.arange(plan.max_active)
+                chunk_body, grid0, jnp.arange(num_chunks)
             )
             grid_re = _shift2(_fold_wraps(plan, grid_re), N // 2)
             grid_im = _shift2(_fold_wraps(plan, grid_im), N // 2)
@@ -282,11 +338,13 @@ def build_predict(plan: GridderPlan):
     flattened (row * chan) split visibilities from a real image.
     """
     P, B, W = plan.patch, plan.block, plan.support
+    G = BLOCK_GROUP
     N, npix = plan.ngrid, plan.num_pixels
     crop0 = (N - npix) // 2
     inv_whalf = 2.0 / (W * plan.dw)
     num_slots = plan.num_vis
     num_out = plan.num_vis_data
+    num_chunks = _padded_active(plan) // G
 
     @jax.jit
     def predict(arrays: dict, image):
@@ -296,6 +354,7 @@ def build_predict(plan: GridderPlan):
             acc_re, acc_im = carry
             w_p = arrays["plane_w"][p]
             active_row = arrays["active_table"][p]
+            active_count = arrays["active_count"][p]
 
             if plan.wstacking:
                 theta = (2.0 * np.pi * w_p) * arrays["nm1s"]
@@ -321,40 +380,65 @@ def build_predict(plan: GridderPlan):
             alloc_re = _unfold_wraps(plan, grid_re)
             alloc_im = _unfold_wraps(plan, grid_im)
 
-            def block_body(carry, i):
-                acc_re, acc_im = carry
-                bidx = active_row[i]
-                valid = bidx >= 0
-                b = jnp.maximum(bidx, 0)
-                ox = arrays["block_ox"][b]
-                oy = arrays["block_oy"][b]
-                ax, ay, s, lane, ws = _kernel_matrices(
-                    plan, arrays, b, ox, oy
-                )
-                if plan.wstacking:
-                    kw = es_kernel_jnp((w_p - ws) * inv_whalf, plan.beta)
-                else:
-                    kw = jnp.ones_like(ws)
-                amp = jnp.where(lane & valid, kw, 0.0)
+            def chunk_body(carry, ci):
+                start = ci * G
 
-                patch_re = lax.dynamic_slice(alloc_re, (ox, oy), (P, P))
-                patch_im = lax.dynamic_slice(alloc_im, (ox, oy), (P, P))
-                tmp_re = jnp.matmul(ax, patch_re, precision=_HIGHEST)
-                tmp_im = jnp.matmul(ax, patch_im, precision=_HIGHEST)
-                con_re = jnp.sum(tmp_re * ay, axis=1) * amp
-                con_im = jnp.sum(tmp_im * ay, axis=1) * amp
-                cur_re = lax.dynamic_slice(acc_re, (s,), (B,))
-                cur_im = lax.dynamic_slice(acc_im, (s,), (B,))
-                acc_re = lax.dynamic_update_slice(
-                    acc_re, cur_re + con_re, (s,)
+                def run(carry):
+                    acc_re, acc_im = carry
+                    idxs = lax.dynamic_slice(active_row, (start,), (G,))
+                    valid = idxs >= 0
+                    bs = jnp.maximum(idxs, 0)
+                    ax, ay, s, lane, ws, ox, oy = _group_kernel_matrices(
+                        plan, arrays, bs
+                    )
+                    if plan.wstacking:
+                        kw = es_kernel_jnp(
+                            (w_p - ws) * inv_whalf, plan.beta
+                        )
+                    else:
+                        kw = jnp.ones_like(ws)
+                    amp = jnp.where(lane & valid[:, None], kw, 0.0)
+
+                    patch_re = jax.vmap(
+                        lambda o1, o2: lax.dynamic_slice(
+                            alloc_re, (o1, o2), (P, P)
+                        )
+                    )(ox, oy)
+                    patch_im = jax.vmap(
+                        lambda o1, o2: lax.dynamic_slice(
+                            alloc_im, (o1, o2), (P, P)
+                        )
+                    )(ox, oy)
+                    tmp_re = jnp.einsum(
+                        "gbp,gpq->gbq", ax, patch_re, precision=_HIGHEST
+                    )
+                    tmp_im = jnp.einsum(
+                        "gbp,gpq->gbq", ax, patch_im, precision=_HIGHEST
+                    )
+                    con_re = jnp.sum(tmp_re * ay, axis=2) * amp
+                    con_im = jnp.sum(tmp_im * ay, axis=2) * amp
+
+                    def add_one(g, carry):
+                        acc_re, acc_im = carry
+                        cur_re = lax.dynamic_slice(acc_re, (s[g],), (B,))
+                        cur_im = lax.dynamic_slice(acc_im, (s[g],), (B,))
+                        acc_re = lax.dynamic_update_slice(
+                            acc_re, cur_re + con_re[g], (s[g],)
+                        )
+                        acc_im = lax.dynamic_update_slice(
+                            acc_im, cur_im + con_im[g], (s[g],)
+                        )
+                        return acc_re, acc_im
+
+                    return lax.fori_loop(0, G, add_one, carry)
+
+                return (
+                    lax.cond(start < active_count, run, lambda c: c, carry),
+                    None,
                 )
-                acc_im = lax.dynamic_update_slice(
-                    acc_im, cur_im + con_im, (s,)
-                )
-                return (acc_re, acc_im), None
 
             (acc_re, acc_im), _ = lax.scan(
-                block_body, (acc_re, acc_im), jnp.arange(plan.max_active)
+                chunk_body, (acc_re, acc_im), jnp.arange(num_chunks)
             )
             return (acc_re, acc_im), None
 
