@@ -69,6 +69,18 @@ def get_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Disable w-stacking (narrow-field imaging)",
     )
+    imaging_group.add_argument(
+        "--weighting",
+        choices=["natural", "uniform", "robust"],
+        default="natural",
+        help="Imaging weighting scheme",
+    )
+    imaging_group.add_argument(
+        "--robust",
+        type=float,
+        default=0.0,
+        help="Briggs robustness parameter (with --weighting robust)",
+    )
 
     clean_group = parser.add_argument_group("deconvolution")
     clean_group.add_argument(
@@ -151,6 +163,8 @@ def run_program(cli_args: list[str]) -> None:
                 pixel_size_asec=args.pixel_size,
                 epsilon=args.epsilon,
                 do_wstacking=not args.no_wstacking,
+                weighting=args.weighting,
+                robust=args.robust,
             )
         else:
             from ..parallel.mesh import make_device_mesh
@@ -170,6 +184,8 @@ def run_program(cli_args: list[str]) -> None:
                 freq_chunks=args.freq_chunks,
                 epsilon=args.epsilon,
                 do_wstacking=not args.no_wstacking,
+                weighting=args.weighting,
+                robust=args.robust,
                 recorder=recorder,
             )
             # Same file name / schema as the reference

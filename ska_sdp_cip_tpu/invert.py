@@ -119,12 +119,43 @@ def invert_dataset(
     *,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
+    weighting: str = "natural",
+    robust: float = 0.0,
 ) -> NDArray:
     """
     Single-device invert of a visibility dataset to a normalized dirty
     image (reference: invert_measurement_set, invert.py:119-149).
+    ``weighting`` selects the imaging weighting scheme
+    (natural/uniform/robust; see models/weighting.py — the reference
+    supports natural only).
     """
     gridder_input = StokesIGridderInput.from_reader(reader)
+    if weighting != "natural":
+        from .models.weighting import ImagingWeighter
+
+        weighter = ImagingWeighter(
+            num_pixels,
+            pixel_size_lm_from_asec(pixel_size_asec),
+            scheme=weighting,
+            robust=robust,
+        ).fit(
+            gridder_input.uvw,
+            gridder_input.channel_frequencies,
+            gridder_input.effective_weights(),
+        )
+        reweighted = weighter.apply(
+            gridder_input.uvw,
+            gridder_input.channel_frequencies,
+            gridder_input.effective_weights(),
+        )
+        # Fold flags back out: effective weights already zero them.
+        gridder_input = StokesIGridderInput(
+            channel_frequencies=gridder_input.channel_frequencies,
+            flags=np.zeros_like(gridder_input.flags),
+            uvw=gridder_input.uvw,
+            visibilities=gridder_input.visibilities,
+            weights=reweighted,
+        )
     image, total_weight = grid_invert(
         gridder_input,
         num_pixels,

@@ -50,7 +50,20 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 #: Blocks processed per scan step: their patch matmuls run as one
 #: batched MXU contraction; their grid updates are a short inner loop.
 #: Amortizes scan-step overhead ~G-fold.
-BLOCK_GROUP = 8
+BLOCK_GROUP = int(__import__("os").environ.get("CIP_BLOCK_GROUP", "8"))
+
+#: Skip fully-inactive chunks with lax.cond. Tunable because a cond
+#: wrapping the grid carry can force XLA to copy it (perf experiment
+#: knob; masked work is always correct either way).
+SKIP_INACTIVE = (
+    __import__("os").environ.get("CIP_SKIP_INACTIVE", "1") == "1"
+)
+
+
+def _maybe_cond(pred, run, carry):
+    if SKIP_INACTIVE:
+        return lax.cond(pred, run, lambda c: c, carry)
+    return run(carry)
 
 
 def _padded_active(plan: GridderPlan) -> int:
@@ -67,13 +80,14 @@ def split_complex(vis) -> tuple:
     )
 
 
-def plan_device_arrays(plan: GridderPlan) -> dict:
+def plan_device_arrays_host(plan: GridderPlan) -> dict:
     """
-    Device-resident arrays of a plan (the non-static part of the
-    gridding program's input), including precomputed image-domain maps
+    Host (numpy) arrays of a plan — the non-static part of the gridding
+    program's input, including precomputed image-domain maps
     (``inv_corr``: fused uv-taper x w-taper x 1/n correction; ``nm1s``:
     n(l,m) - 1 - n_mid, the w-screen argument) and the matmul-FFT
-    factors for the padded grid size.
+    factors for the padded grid size. Used directly by the multi-host
+    staging path; see :func:`plan_device_arrays` for the device form.
     """
     npix, ngrid = plan.num_pixels, plan.ngrid
 
@@ -93,35 +107,49 @@ def plan_device_arrays(plan: GridderPlan) -> dict:
     inv_corr = 1.0 / corr
 
     arrays = {
-        "order": jnp.asarray(plan.order),
-        "flip_sign": jnp.asarray(
-            np.where(plan.flip, -1.0, 1.0).astype(np.float32)
+        "order": plan.order,
+        "flip_sign": np.where(plan.flip, -1.0, 1.0).astype(np.float32),
+        "x0": plan.x0,
+        "y0": plan.y0,
+        "fx": plan.fx,
+        "fy": plan.fy,
+        "ws": plan.ws,
+        "block_start": plan.block_start,
+        "block_len": plan.block_len,
+        "block_ox": plan.block_ox,
+        "block_oy": plan.block_oy,
+        "active_table": np.pad(
+            plan.active_table,
+            ((0, 0), (0, _padded_active(plan) - plan.max_active)),
+            constant_values=-1,
         ),
-        "x0": jnp.asarray(plan.x0),
-        "y0": jnp.asarray(plan.y0),
-        "fx": jnp.asarray(plan.fx),
-        "fy": jnp.asarray(plan.fy),
-        "ws": jnp.asarray(plan.ws),
-        "block_start": jnp.asarray(plan.block_start),
-        "block_len": jnp.asarray(plan.block_len),
-        "block_ox": jnp.asarray(plan.block_ox),
-        "block_oy": jnp.asarray(plan.block_oy),
-        "active_table": jnp.asarray(
-            np.pad(
-                plan.active_table,
-                ((0, 0), (0, _padded_active(plan) - plan.max_active)),
-                constant_values=-1,
-            )
-        ),
-        "active_count": jnp.asarray(
-            np.sum(plan.active_table >= 0, axis=1).astype(np.int32)
-        ),
-        "plane_w": jnp.asarray(plan.plane_w),
-        "inv_corr": jnp.asarray(inv_corr, dtype=jnp.float32),
-        "nm1s": jnp.asarray(nm1 - plan.n_mid, dtype=jnp.float32),
+        "active_count": np.sum(
+            plan.active_table >= 0, axis=1
+        ).astype(np.int32),
+        "plane_w": plan.plane_w,
+        "inv_corr": inv_corr.astype(np.float32),
+        "nm1s": (nm1 - plan.n_mid).astype(np.float32),
     }
-    arrays.update(fft_plan_arrays(make_fft_plan(ngrid)))
+    fft_plan = make_fft_plan(ngrid)
+    arrays.update(
+        {
+            "fft_d1_cos": fft_plan.d1_cos,
+            "fft_d1_sin": fft_plan.d1_sin,
+            "fft_d2_cos": fft_plan.d2_cos,
+            "fft_d2_sin": fft_plan.d2_sin,
+            "fft_tw_cos": fft_plan.tw_cos,
+            "fft_tw_sin": fft_plan.tw_sin,
+        }
+    )
     return arrays
+
+
+def plan_device_arrays(plan: GridderPlan) -> dict:
+    """Device-resident form of :func:`plan_device_arrays_host`."""
+    return {
+        key: jnp.asarray(value)
+        for key, value in plan_device_arrays_host(plan).items()
+    }
 
 
 def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_re, vis_im):
@@ -290,9 +318,7 @@ def build_invert(plan: GridderPlan):
 
                     return lax.fori_loop(0, G, add_one, carry)
 
-                carry = lax.cond(
-                    start < active_count, run, lambda c: c, carry
-                )
+                carry = _maybe_cond(start < active_count, run, carry)
                 return carry, None
 
             grid0 = (
@@ -433,7 +459,7 @@ def build_predict(plan: GridderPlan):
                     return lax.fori_loop(0, G, add_one, carry)
 
                 return (
-                    lax.cond(start < active_count, run, lambda c: c, carry),
+                    _maybe_cond(start < active_count, run, carry),
                     None,
                 )
 

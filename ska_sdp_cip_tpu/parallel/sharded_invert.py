@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..invert import StokesIGridderInput, pixel_size_lm_from_asec
 from ..io.visibility_dataset import VisibilityReader
-from ..ops.gridder import build_invert, plan_device_arrays
+from ..ops.gridder import build_invert, plan_device_arrays_host
 from ..ops.plan import make_plan, pad_plans_uniform
 from .mesh import make_device_mesh
 
@@ -75,6 +75,8 @@ def sharded_invert_dataset(
     freq_chunks: int | None = None,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
+    weighting: str = "natural",
+    robust: float = 0.0,
     recorder=None,
 ) -> np.ndarray:
     """
@@ -108,6 +110,25 @@ def sharded_invert_dataset(
             StokesIGridderInput.from_reader(chunk)
             for chunk in reader.partition(row_chunks, freq_chunks)
         ]
+        if weighting != "natural":
+            # Density fit is global so shards see exactly the weights
+            # a single-device run would (models/weighting.py).
+            from ..models.weighting import fit_weighter_for_reader
+
+            weighter = fit_weighter_for_reader(
+                reader,
+                num_pixels,
+                pixel_size_lm,
+                scheme=weighting,
+                robust=robust,
+            )
+            for shard in shards:
+                shard.weights = weighter.apply(
+                    shard.uvw,
+                    shard.channel_frequencies,
+                    shard.effective_weights(),
+                )
+                shard.flags = np.zeros_like(shard.flags)
 
     # -- per-shard plans, padded to one static program -----------------
     with step("plan_shards"):
@@ -124,16 +145,32 @@ def sharded_invert_dataset(
         ]
         plans = pad_plans_uniform(plans)
 
-    # -- stack device inputs ------------------------------------------
+    # -- stack inputs as globally-sharded arrays -----------------------
+    # jax.make_array_from_callback places each process's addressable
+    # shards only, so the same code path serves single-host meshes and
+    # multi-host slices (each host feeds its rows of the stacked
+    # arrays; the callback indexes into the host-built stack).
     with step("stage_shards"):
-        arrays_per_shard = [plan_device_arrays(plan) for plan in plans]
+        sharded = NamedSharding(mesh, P(axis_name))
+        replicated = NamedSharding(mesh, P())
+
+        def _global(stacked_np, shard_it: bool):
+            stacked_np = np.asarray(stacked_np)
+            return jax.make_array_from_callback(
+                stacked_np.shape,
+                sharded if shard_it else replicated,
+                lambda idx: stacked_np[idx],
+            )
+
+        host_arrays = [plan_device_arrays_host(plan) for plan in plans]
         stacked = {}
-        for key in arrays_per_shard[0]:
+        for key in host_arrays[0]:
             if _is_replicated(key):
-                stacked[key] = arrays_per_shard[0][key]
+                stacked[key] = _global(host_arrays[0][key], False)
             else:
-                stacked[key] = jnp.stack(
-                    [arrays[key] for arrays in arrays_per_shard]
+                stacked[key] = _global(
+                    np.stack([arrays[key] for arrays in host_arrays]),
+                    True,
                 )
 
         num_vis = plans[0].num_vis
@@ -149,8 +186,8 @@ def sharded_invert_dataset(
             vis_re[i, : len(weighted)] = weighted.real
             vis_im[i, : len(weighted)] = weighted.imag
             total_weight += float(shard.effective_weights().sum())
-        vis_re = jnp.asarray(vis_re)
-        vis_im = jnp.asarray(vis_im)
+        vis_re = _global(vis_re, True)
+        vis_im = _global(vis_im, True)
 
     # -- one SPMD program over the mesh --------------------------------
     invert = build_invert(plans[0])
