@@ -37,6 +37,21 @@ REPEATS = 3
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the axon relay's remote compile of
+    # the gridding program is slow (minutes); cache hits make repeat
+    # bench runs start in seconds.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(__import__("pathlib").Path(__file__).parent / ".jax_cache"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from ska_sdp_cip_tpu.io.synth import synthetic_uvw

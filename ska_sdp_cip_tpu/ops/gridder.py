@@ -130,6 +130,9 @@ def plan_device_arrays_host(plan: GridderPlan) -> dict:
         "inv_corr": inv_corr.astype(np.float32),
         "nm1s": (nm1 - plan.n_mid).astype(np.float32),
     }
+    from .pallas_gridder import pack_plan_columns
+
+    arrays["packed"] = pack_plan_columns(plan)
     fft_plan = make_fft_plan(ngrid)
     arrays.update(
         {
@@ -241,7 +244,22 @@ def _shift2(x, amount):
     return jnp.roll(x, (amount, amount), axis=(0, 1))
 
 
-def build_invert(plan: GridderPlan):
+def resolve_gridder_mode(gridder: str | None) -> str:
+    """
+    'pallas' | 'xla' | 'pallas_interpret'. Default ('auto'): the Pallas
+    kernel on accelerators, the pure-XLA scan on CPU.
+    """
+    import os
+
+    mode = gridder or os.environ.get("CIP_GRIDDER", "auto")
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if mode not in ("pallas", "xla", "pallas_interpret"):
+        raise ValueError(f"Unknown gridder mode {mode!r}")
+    return mode
+
+
+def build_invert(plan: GridderPlan, *, gridder: str | None = None):
     """
     Returns a jitted ``invert(arrays, vis_re, vis_im) -> image``
     computing the unnormalized dirty image (float32, (npix, npix)) from
@@ -255,6 +273,61 @@ def build_invert(plan: GridderPlan):
     crop0 = (N - npix) // 2
     inv_whalf = 2.0 / (W * plan.dw)
     num_chunks = _padded_active(plan) // G
+    mode = resolve_gridder_mode(gridder)
+
+    if mode.startswith("pallas"):
+        from .pallas_gridder import build_grid_planes_pallas
+
+        grid_plane = build_grid_planes_pallas(
+            plan, interpret=(mode == "pallas_interpret")
+        )
+
+        @jax.jit
+        def invert_pallas(arrays: dict, vis_re, vis_im):
+            re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
+            vis_split = jnp.stack([re, im], axis=0)  # (2, V) lane-major
+
+            def plane_body(image_accum, p):
+                w_p = arrays["plane_w"][p]
+                grid_re, grid_im = grid_plane(
+                    arrays["active_table"][p],
+                    arrays["block_start"],
+                    arrays["block_len"],
+                    arrays["block_ox"],
+                    arrays["block_oy"],
+                    arrays["active_count"][p][None],
+                    arrays["packed"],
+                    vis_split,
+                    w_p,
+                )
+                grid_re = _shift2(_fold_wraps(plan, grid_re), N // 2)
+                grid_im = _shift2(_fold_wraps(plan, grid_im), N // 2)
+                img_re, img_im = fft2_split(
+                    grid_re, grid_im, arrays, sign=+1
+                )
+                img_re = _shift2(img_re, N // 2)[
+                    crop0 : crop0 + npix, crop0 : crop0 + npix
+                ]
+                img_im = _shift2(img_im, N // 2)[
+                    crop0 : crop0 + npix, crop0 : crop0 + npix
+                ]
+                if plan.wstacking:
+                    theta = (-2.0 * np.pi * w_p) * arrays["nm1s"]
+                    contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(
+                        theta
+                    )
+                else:
+                    contrib = img_re
+                return image_accum + contrib, None
+
+            image, _ = lax.scan(
+                plane_body,
+                jnp.zeros((npix, npix), jnp.float32),
+                jnp.arange(plan.nplanes),
+            )
+            return image * arrays["inv_corr"]
+
+        return invert_pallas
 
     @jax.jit
     def invert(arrays: dict, vis_re, vis_im):
@@ -300,8 +373,10 @@ def build_invert(plan: GridderPlan):
                         precision=_HIGHEST,
                     )
 
-                    def add_one(g, carry):
-                        grid_re, grid_im = carry
+                    # Unrolled overlap-add: straight-line HLO (a G-trip
+                    # while-loop here slows both compile and execution)
+                    grid_re, grid_im = carry
+                    for g in range(G):
                         cur_re = lax.dynamic_slice(
                             grid_re, (ox[g], oy[g]), (P, P)
                         )
@@ -314,9 +389,7 @@ def build_invert(plan: GridderPlan):
                         grid_im = lax.dynamic_update_slice(
                             grid_im, cur_im + patch_im[g], (ox[g], oy[g])
                         )
-                        return grid_re, grid_im
-
-                    return lax.fori_loop(0, G, add_one, carry)
+                    return grid_re, grid_im
 
                 carry = _maybe_cond(start < active_count, run, carry)
                 return carry, None
@@ -444,8 +517,9 @@ def build_predict(plan: GridderPlan):
                     con_re = jnp.sum(tmp_re * ay, axis=2) * amp
                     con_im = jnp.sum(tmp_im * ay, axis=2) * amp
 
-                    def add_one(g, carry):
-                        acc_re, acc_im = carry
+                    # Unrolled accumulate (see invert)
+                    acc_re, acc_im = carry
+                    for g in range(G):
                         cur_re = lax.dynamic_slice(acc_re, (s[g],), (B,))
                         cur_im = lax.dynamic_slice(acc_im, (s[g],), (B,))
                         acc_re = lax.dynamic_update_slice(
@@ -454,9 +528,7 @@ def build_predict(plan: GridderPlan):
                         acc_im = lax.dynamic_update_slice(
                             acc_im, cur_im + con_im[g], (s[g],)
                         )
-                        return acc_re, acc_im
-
-                    return lax.fori_loop(0, G, add_one, carry)
+                    return acc_re, acc_im
 
                 return (
                     _maybe_cond(start < active_count, run, carry),
