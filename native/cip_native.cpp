@@ -85,7 +85,8 @@ void cip_w_minmax(const double* uvw, int64_t nrow, const double* freqs,
 // |w| in wavelengths, and the (tile, wbin) lexicographic sort key.
 void cip_plan_arrays(const double* uvw, int64_t nrow, const double* freqs,
                      int64_t nchan, double inv_du, int64_t ngrid,
-                     int64_t support, int64_t tile_cells, int64_t ntiles,
+                     int64_t support, int64_t tile_cells_x,
+                     int64_t tile_cells_y, int64_t ntiles_y,
                      int wstacking, double w0_plane, double inv_dw,
                      int64_t nplanes,
                      uint8_t* flip, int32_t* x0, int32_t* y0, float* fx,
@@ -126,8 +127,8 @@ void cip_plan_arrays(const double* uvw, int64_t nrow, const double* freqs,
                     bin = std::max<int64_t>(0,
                           std::min<int64_t>(bin, nplanes - 1));
                 }
-                const int64_t tid = (cx / tile_cells) * ntiles
-                                  + (cy / tile_cells);
+                const int64_t tid = (cx / tile_cells_x) * ntiles_y
+                                  + (cy / tile_cells_y);
                 key[i] = tid * nplanes + bin;
             }
         }

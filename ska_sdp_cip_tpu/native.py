@@ -57,8 +57,8 @@ def _declare(lib) -> None:
     lib.cip_w_minmax.argtypes = [dp, ct.c_int64, dp, ct.c_int64, dp, dp]
     lib.cip_plan_arrays.argtypes = [
         dp, ct.c_int64, dp, ct.c_int64, ct.c_double, ct.c_int64,
-        ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int, ct.c_double,
-        ct.c_double, ct.c_int64,
+        ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int,
+        ct.c_double, ct.c_double, ct.c_int64,
         u8p, i32p, i32p, fp, fp, fp, i64p,
     ]
     lib.cip_argsort_i64.argtypes = [i64p, ct.c_int64, i64p]
@@ -95,8 +95,9 @@ def plan_arrays(
     inv_du: float,
     ngrid: int,
     support: int,
-    tile_cells: int,
-    ntiles: int,
+    tile_cells_x: int,
+    tile_cells_y: int,
+    ntiles_y: int,
     wstacking: bool,
     w0_plane: float,
     dw: float,
@@ -124,8 +125,9 @@ def plan_arrays(
         ctypes.c_double(inv_du),
         ngrid,
         support,
-        tile_cells,
-        ntiles,
+        tile_cells_x,
+        tile_cells_y,
+        ntiles_y,
         int(wstacking),
         ctypes.c_double(w0_plane),
         ctypes.c_double(1.0 / dw),

@@ -181,11 +181,11 @@ def _slice_group(column, starts, size):
 
 def _group_kernel_matrices(plan: GridderPlan, arrays: dict, bs):
     """
-    Banded kernel matrices Ax, Ay of shape (G, B, P) for a group of
+    Banded kernel matrices Ax (G, B, PX), Ay (G, B, PY) for a group of
     block slots ``bs``, plus per-block metadata: vis start indices,
     lane masks, w coords, and patch origins.
     """
-    P, B, W = plan.patch, plan.block, plan.support
+    B, W = plan.block, plan.support
     s = arrays["block_start"][bs]
     length = arrays["block_len"][bs]
     ox = arrays["block_ox"][bs]
@@ -197,12 +197,13 @@ def _group_kernel_matrices(plan: GridderPlan, arrays: dict, bs):
     fy = _slice_group(arrays["fy"], s, B)
     ws = _slice_group(arrays["ws"], s, B)
 
-    iota = jnp.arange(P, dtype=jnp.int32)
+    iota_x = jnp.arange(plan.patch_x, dtype=jnp.int32)
+    iota_y = jnp.arange(plan.patch_y, dtype=jnp.int32)
     # Footprint-relative cell index (patch cell minus footprint start):
     # exact in int32, so kernel arguments keep full f32 precision on
     # arbitrarily large grids.
-    rx = iota[None, None, :] - (x0 - ox[:, None])[:, :, None]
-    ry = iota[None, None, :] - (y0 - oy[:, None])[:, :, None]
+    rx = iota_x[None, None, :] - (x0 - ox[:, None])[:, :, None]
+    ry = iota_y[None, None, :] - (y0 - oy[:, None])[:, :, None]
     inv_half = jnp.float32(2.0 / W)
     zx = (rx.astype(jnp.float32) - fx[:, :, None]) * inv_half
     zy = (ry.astype(jnp.float32) - fy[:, :, None]) * inv_half
@@ -227,12 +228,12 @@ def _fold_wraps(plan: GridderPlan, grid):
 
 def _unfold_wraps(plan: GridderPlan, g):
     """Adjoint of :func:`_fold_wraps`: duplicate wrap edges into alloc."""
-    N, W, NA = plan.ngrid, plan.support, plan.nalloc
-    gx = jnp.zeros((NA, N), dtype=g.dtype)
+    N, W = plan.ngrid, plan.support
+    gx = jnp.zeros((plan.nalloc_x, N), dtype=g.dtype)
     gx = gx.at[W : W + N, :].set(g)
     gx = gx.at[W + N : N + 2 * W, :].set(g[0:W, :])
     gx = gx.at[0:W, :].set(g[N - W : N, :])
-    alloc = jnp.zeros((NA, NA), dtype=g.dtype)
+    alloc = jnp.zeros((plan.nalloc_x, plan.nalloc_y), dtype=g.dtype)
     alloc = alloc.at[:, W : W + N].set(gx)
     alloc = alloc.at[:, W + N : N + 2 * W].set(gx[:, 0:W])
     alloc = alloc.at[:, 0:W].set(gx[:, N - W : N])
@@ -267,9 +268,10 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
     real/imag float32. Divide by the total effective weight for fluxes
     (reference: invert.py:119-149).
     """
-    P, B, W = plan.patch, plan.block, plan.support
+    PX, PY = plan.patch_x, plan.patch_y
+    B, W = plan.block, plan.support
     G = BLOCK_GROUP
-    N, NA, npix = plan.ngrid, plan.nalloc, plan.num_pixels
+    N, npix = plan.ngrid, plan.num_pixels
     crop0 = (N - npix) // 2
     inv_whalf = 2.0 / (W * plan.dw)
     num_chunks = _padded_active(plan) // G
@@ -378,10 +380,10 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
                     grid_re, grid_im = carry
                     for g in range(G):
                         cur_re = lax.dynamic_slice(
-                            grid_re, (ox[g], oy[g]), (P, P)
+                            grid_re, (ox[g], oy[g]), (PX, PY)
                         )
                         cur_im = lax.dynamic_slice(
-                            grid_im, (ox[g], oy[g]), (P, P)
+                            grid_im, (ox[g], oy[g]), (PX, PY)
                         )
                         grid_re = lax.dynamic_update_slice(
                             grid_re, cur_re + patch_re[g], (ox[g], oy[g])
@@ -395,8 +397,8 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
                 return carry, None
 
             grid0 = (
-                jnp.zeros((NA, NA), jnp.float32),
-                jnp.zeros((NA, NA), jnp.float32),
+                jnp.zeros((plan.nalloc_x, plan.nalloc_y), jnp.float32),
+                jnp.zeros((plan.nalloc_x, plan.nalloc_y), jnp.float32),
             )
             (grid_re, grid_im), _ = lax.scan(
                 chunk_body, grid0, jnp.arange(num_chunks)
@@ -436,7 +438,8 @@ def build_predict(plan: GridderPlan):
     degridding / forward model (``dirty2ms`` analog) producing
     flattened (row * chan) split visibilities from a real image.
     """
-    P, B, W = plan.patch, plan.block, plan.support
+    PX, PY = plan.patch_x, plan.patch_y
+    B, W = plan.block, plan.support
     G = BLOCK_GROUP
     N, npix = plan.ngrid, plan.num_pixels
     crop0 = (N - npix) // 2
@@ -500,12 +503,12 @@ def build_predict(plan: GridderPlan):
 
                     patch_re = jax.vmap(
                         lambda o1, o2: lax.dynamic_slice(
-                            alloc_re, (o1, o2), (P, P)
+                            alloc_re, (o1, o2), (PX, PY)
                         )
                     )(ox, oy)
                     patch_im = jax.vmap(
                         lambda o1, o2: lax.dynamic_slice(
-                            alloc_im, (o1, o2), (P, P)
+                            alloc_im, (o1, o2), (PX, PY)
                         )
                     )(ox, oy)
                     tmp_re = jnp.einsum(

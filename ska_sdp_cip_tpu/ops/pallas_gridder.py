@@ -53,7 +53,8 @@ def pack_plan_columns(plan: GridderPlan) -> np.ndarray:
 
 
 def _grid_plane_kernel_factory(plan: GridderPlan):
-    P, B, W = plan.patch, plan.block, plan.support
+    PX, PY = plan.patch_x, plan.patch_y
+    B, W = plan.block, plan.support
     beta = plan.beta
     inv_whalf = 2.0 / (W * plan.dw)
     wstacking = plan.wstacking
@@ -92,12 +93,13 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
 
         def block_meta(slot):
             b = jnp.maximum(active_row[jnp.minimum(slot, n - 1)], 0)
-            return (
-                block_start[b],
-                block_len[b],
-                block_ox[b],
-                block_oy[b],
-            )
+            # Alignment facts for Mosaic: slots are block-aligned
+            # (start == b * B), patch origins are tile-aligned
+            # (tile_x multiple of 8, tile_y multiple of 128).
+            start = pl.multiple_of(b * B, B)
+            ox = pl.multiple_of(block_ox[b], 8)
+            oy = pl.multiple_of(block_oy[b], 128)
+            return start, block_len[b], ox, oy
 
         def vis_dma(slot, buf):
             s, _, _, _ = block_meta(slot)
@@ -120,8 +122,8 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
         def _():
             for dma in vis_dma(0, 0):
                 dma.start()
-            patch_re[:] = jnp.zeros((P, P), jnp.float32)
-            patch_im[:] = jnp.zeros((P, P), jnp.float32)
+            patch_re[:] = jnp.zeros((PX, PY), jnp.float32)
+            patch_im[:] = jnp.zeros((PX, PY), jnp.float32)
             prev[0] = ox_i
             prev[1] = oy_i
 
@@ -135,12 +137,12 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
 
         def flush(ox, oy):
             read_re = pltpu.make_async_copy(
-                alloc_re.at[pl.ds(ox, P), pl.ds(oy, P)],
+                alloc_re.at[pl.ds(ox, PX), pl.ds(oy, PY)],
                 tmp_re,
                 flush_sems.at[0],
             )
             read_im = pltpu.make_async_copy(
-                alloc_im.at[pl.ds(ox, P), pl.ds(oy, P)],
+                alloc_im.at[pl.ds(ox, PX), pl.ds(oy, PY)],
                 tmp_im,
                 flush_sems.at[1],
             )
@@ -152,20 +154,20 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
             tmp_im[:] = tmp_im[:] + patch_im[:]
             write_re = pltpu.make_async_copy(
                 tmp_re,
-                alloc_re.at[pl.ds(ox, P), pl.ds(oy, P)],
+                alloc_re.at[pl.ds(ox, PX), pl.ds(oy, PY)],
                 flush_sems.at[0],
             )
             write_im = pltpu.make_async_copy(
                 tmp_im,
-                alloc_im.at[pl.ds(ox, P), pl.ds(oy, P)],
+                alloc_im.at[pl.ds(ox, PX), pl.ds(oy, PY)],
                 flush_sems.at[1],
             )
             write_re.start()
             write_im.start()
             write_re.wait()
             write_im.wait()
-            patch_re[:] = jnp.zeros((P, P), jnp.float32)
-            patch_im[:] = jnp.zeros((P, P), jnp.float32)
+            patch_re[:] = jnp.zeros((PX, PY), jnp.float32)
+            patch_im[:] = jnp.zeros((PX, PY), jnp.float32)
 
         @pl.when(jnp.logical_and(i > 0, changed))
         def _():
@@ -188,9 +190,10 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
             vre = vis_buf[buf][0:1, :]
             vim = vis_buf[buf][1:2, :]
 
-            iota_p = lax.broadcasted_iota(jnp.int32, (P, B), 0)
-            rx = iota_p - (x0 - ox_i)
-            ry = iota_p - (y0 - oy_i)
+            iota_x = lax.broadcasted_iota(jnp.int32, (PX, B), 0)
+            iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0)
+            rx = iota_x - (x0 - ox_i)
+            ry = iota_y - (y0 - oy_i)
             inv_half = jnp.float32(2.0 / W)
             ax = es_kernel_jnp(
                 (rx.astype(jnp.float32) - fx) * inv_half, beta
@@ -236,8 +239,7 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
     block_oy, active_count, packed, vis_split, w_p) -> (alloc_re,
     alloc_im)``: grid one w-plane's blocks onto a zeroed padded uv grid.
     """
-    P, B = plan.patch, plan.block
-    NA = plan.nalloc
+    PX, PY, B = plan.patch_x, plan.patch_y, plan.block
     num_steps = max(plan.active_table.shape[1], 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -257,10 +259,10 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((2, PACK_COLS, B), jnp.float32),
             pltpu.VMEM((2, 2, B), jnp.float32),
-            pltpu.VMEM((P, P), jnp.float32),
-            pltpu.VMEM((P, P), jnp.float32),
-            pltpu.VMEM((P, P), jnp.float32),
-            pltpu.VMEM((P, P), jnp.float32),
+            pltpu.VMEM((PX, PY), jnp.float32),
+            pltpu.VMEM((PX, PY), jnp.float32),
+            pltpu.VMEM((PX, PY), jnp.float32),
+            pltpu.VMEM((PX, PY), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -273,8 +275,12 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((NA, NA), jnp.float32),
-            jax.ShapeDtypeStruct((NA, NA), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (plan.nalloc_x, plan.nalloc_y), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (plan.nalloc_x, plan.nalloc_y), jnp.float32
+            ),
         ],
         # alloc inputs (positions 9, 10 counting the 6 prefetch args
         # then packed, vis, w_p) alias the two outputs
@@ -294,7 +300,7 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
         vis_split,
         w_p,
     ):
-        zeros = jnp.zeros((NA, NA), jnp.float32)
+        zeros = jnp.zeros((plan.nalloc_x, plan.nalloc_y), jnp.float32)
         return call(
             active_row,
             block_start,

@@ -12,18 +12,23 @@ program consumes:
   symmetry of a real dirty image), the n-1 range is centred ("w-shift")
   to halve the plane count, plane spacing ``dw`` is set by the kernel's
   no-alias band;
-* scatter domain tiling — visibilities are binned to uv tiles of
-  ``T = P - W + 1`` cells so each one's W-cell footprint lies inside a
-  static ``P x P`` patch (P aligned to the 128-lane TPU register tile),
-  sorted by (tile, w-plane bin), and packed into fixed-size blocks: the
-  unit of work of the MXU gridding kernel. Per-plane active-block
-  tables give the jitted program static bounds with no data-dependent
-  shapes.
+* scatter domain tiling — visibilities are binned to rectangular uv
+  tiles whose patch origins satisfy the TPU's memory tiling: the
+  sublane axis uses tile_x = 120 cells (origins divisible by 8, patch
+  128), the lane axis tile_y = 128 cells (origins divisible by 128,
+  patch 256). Each visibility's W-cell footprint lies inside one
+  static (128, 256) patch.
+* block-slot layout — visibilities are sorted by (tile, w-plane bin)
+  and re-packed so block ``b`` occupies exactly slots
+  ``[b*B, (b+1)*B)`` (zero-padded): every DMA offset in the Pallas
+  kernel is statically aligned. Per-plane active-block tables give the
+  program static bounds with no data-dependent shapes.
 
 Positions are stored as integer footprint cells plus small fractional
 offsets so kernel arguments keep full float32 precision on arbitrarily
-large grids. This module is numpy-only and runs once per (dataset
-shard, imaging config); everything downstream is jit-compiled.
+large grids. This module is numpy-only (with an optional C++ engine,
+see ../native.py) and runs once per (dataset shard, imaging config);
+everything downstream is jit-compiled.
 """
 
 from __future__ import annotations
@@ -40,12 +45,14 @@ from .kernels import (
 
 SPEED_OF_LIGHT = 299792458.0
 
-#: Patch edge in grid cells — matches the TPU lane width so gridding
-#: matmuls run at native MXU tile shapes.
-DEFAULT_PATCH = 128
+#: Patch shape in grid cells: sublane axis x lane axis. The lane axis
+#: is 256 so tile_y = 128 keeps patch origins 128-aligned (TPU memory
+#: tiling); the sublane axis is the register-tile 128.
+DEFAULT_PATCH_X = 128
+DEFAULT_PATCH_Y = 256
 
-#: Visibilities per block: the K dimension of the per-block gridding
-#: matmul (P, B) @ (B, P).
+#: Visibilities per block: the contraction length of the per-block
+#: gridding matmul.
 DEFAULT_BLOCK = 256
 
 
@@ -70,7 +77,8 @@ class GridderPlan:
     num_pixels: int
     pixel_size_lm: float
     ngrid: int
-    nalloc: int
+    nalloc_x: int
+    nalloc_y: int
     support: int
     beta: float
     sigma: float
@@ -84,23 +92,26 @@ class GridderPlan:
     n_mid: float
 
     # Tiling
-    patch: int
-    tile: int
+    patch_x: int
+    patch_y: int
+    tile_x: int
+    tile_y: int
     block: int
     num_blocks: int
     max_active: int
 
-    # Per-visibility arrays, sorted by (uv tile, w bin); ``order`` maps
-    # back into the caller's flattened (row, chan) visibility axis.
+    # Per-visibility arrays in BLOCK-SLOT layout (length
+    # num_blocks * block): block b owns slots [b*B, (b+1)*B), padded
+    # slots carry order == num_vis_data.
     order: np.ndarray = field(repr=False)
     flip: np.ndarray = field(repr=False)
-    x0: np.ndarray = field(repr=False)  # int32 footprint start cell (alloc)
+    x0: np.ndarray = field(repr=False)  # int32 footprint start (alloc)
     y0: np.ndarray = field(repr=False)
-    fx: np.ndarray = field(repr=False)  # f32 x - x0, in [W/2-1, W/2)
+    fx: np.ndarray = field(repr=False)  # f32 x - x0
     fy: np.ndarray = field(repr=False)
-    ws: np.ndarray = field(repr=False)  # f32 w in wavelengths (flipped)
+    ws: np.ndarray = field(repr=False)  # f32 |w| in wavelengths
 
-    # Per-block arrays
+    # Per-block arrays (block_start[b] == b * block by construction)
     block_start: np.ndarray = field(repr=False)
     block_len: np.ndarray = field(repr=False)
     block_ox: np.ndarray = field(repr=False)
@@ -119,7 +130,7 @@ class GridderPlan:
 
     @property
     def num_vis(self) -> int:
-        """Number of visibility slots including block padding."""
+        """Number of visibility slots (num_blocks * block)."""
         return len(self.order)
 
     def static_signature(self) -> tuple:
@@ -130,10 +141,13 @@ class GridderPlan:
         return (
             self.num_pixels,
             self.ngrid,
-            self.nalloc,
+            self.nalloc_x,
+            self.nalloc_y,
             self.support,
-            self.patch,
-            self.tile,
+            self.patch_x,
+            self.patch_y,
+            self.tile_x,
+            self.tile_y,
             self.block,
             self.wstacking,
             self.nplanes,
@@ -179,7 +193,7 @@ def _build_active_table(
     return table
 
 
-def pad_plans_uniform(plans: list[GridderPlan]) -> list[GridderPlan]:
+def pad_plans_uniform(plans: list) -> list:
     """
     Pad a list of per-shard plans to common static shapes (blocks,
     active table, planes, visibility slots) so a single jitted SPMD
@@ -192,7 +206,16 @@ def pad_plans_uniform(plans: list[GridderPlan]) -> list[GridderPlan]:
     if not plans:
         return plans
     geometry = {
-        (p.ngrid, p.nalloc, p.support, p.patch, p.block, p.wstacking)
+        (
+            p.ngrid,
+            p.nalloc_x,
+            p.nalloc_y,
+            p.support,
+            p.patch_x,
+            p.patch_y,
+            p.block,
+            p.wstacking,
+        )
         for p in plans
     }
     if len(geometry) != 1:
@@ -204,7 +227,8 @@ def pad_plans_uniform(plans: list[GridderPlan]) -> list[GridderPlan]:
     num_blocks = max(p.num_blocks for p in plans)
     max_active = max(p.max_active for p in plans)
     nplanes = max(p.nplanes for p in plans)
-    num_vis = max(p.num_vis for p in plans)
+    block = plans[0].block
+    num_vis = num_blocks * block
 
     def _pad1(arr, target, fill):
         if len(arr) == target:
@@ -219,6 +243,9 @@ def pad_plans_uniform(plans: list[GridderPlan]) -> list[GridderPlan]:
         table[: p.active_table.shape[0], : p.active_table.shape[1]] = (
             p.active_table
         )
+        block_start = (
+            np.arange(num_blocks, dtype=np.int64) * block
+        ).astype(np.int32)
         padded.append(
             dataclasses.replace(
                 p,
@@ -232,7 +259,7 @@ def pad_plans_uniform(plans: list[GridderPlan]) -> list[GridderPlan]:
                 fx=_pad1(p.fx, num_vis, 0.5),
                 fy=_pad1(p.fy, num_vis, 0.5),
                 ws=_pad1(p.ws, num_vis, 0.0),
-                block_start=_pad1(p.block_start, num_blocks, 0),
+                block_start=block_start,
                 block_len=_pad1(p.block_len, num_blocks, 0),
                 block_ox=_pad1(p.block_ox, num_blocks, 0),
                 block_oy=_pad1(p.block_oy, num_blocks, 0),
@@ -256,7 +283,6 @@ def make_plan(
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
     sigma: float = 2.0,
-    patch: int = DEFAULT_PATCH,
     block: int = DEFAULT_BLOCK,
     min_blocks: int = 1,
     min_active: int = 1,
@@ -273,15 +299,17 @@ def make_plan(
     uvw = np.asarray(uvw, dtype=np.float64)
     freqs = np.asarray(channel_frequencies, dtype=np.float64)
 
+    from .. import native as _native
+
+    num_vis = len(uvw) * len(freqs)
+    use_native = _native.available() and num_vis > 0
+
     support = kernel_support_for_epsilon(epsilon, sigma)
     beta = es_beta(support, sigma)
     ngrid = next_even_grid_size(int(np.ceil(sigma * num_pixels)))
     du = 1.0 / (ngrid * pixel_size_lm)
 
-    from .. import native as _native
-
-    num_vis = len(uvw) * len(freqs)
-    use_native = _native.available() and num_vis > 0
+    patch_x, patch_y = DEFAULT_PATCH_X, DEFAULT_PATCH_Y
 
     if use_native:
         # Native engine computes per-sample arrays later in one fused
@@ -308,6 +336,7 @@ def make_plan(
     corner_r2 = min(2.0 * half_fov * half_fov, 0.999)
     nm1_min = -corner_r2 / (1.0 + np.sqrt(1.0 - corner_r2))
     n_mid = nm1_min / 2.0  # centre the nm1 band ("w-shift")
+
     wstacking = bool(do_wstacking) and abs(nm1_min) > 0
 
     if wstacking:
@@ -324,18 +353,26 @@ def make_plan(
     nplanes = max(nplanes, min_planes)
 
     # --- uv tiling -----------------------------------------------------
-    tile = patch - support + 1
+    # Sublane axis: origins must be 8-aligned; lane axis: 128-aligned
+    # (TPU memory tiling constraints on dynamic DMA offsets).
+    tile_x = ((patch_x - support + 1) // 8) * 8
+    tile_y = patch_y - 128
+    if tile_x <= 0 or patch_y < 128 + support - 1:
+        raise ValueError(
+            f"support {support} too large for patch "
+            f"({patch_x}, {patch_y})"
+        )
     half = support // 2
 
-    # Continuous grid coordinates are wrapped into [0, ngrid), then
-    # offset by W into the padded "alloc" frame so footprints never go
-    # negative (computed in the numpy or native branch below).
+    # Footprint starts lie in [1 - W/2 + W, ngrid + W/2] in the alloc
+    # frame; tiles must cover the largest start, and the alloc must
+    # also contain the wrap margin [0, ngrid + 2W) read by the fold.
     nalloc_min = ngrid + 2 * support
-    ntiles = max(int(np.ceil((nalloc_min - support + 1) / tile)), 1)
-    nalloc = ntiles * tile + support - 1
-    if nalloc < nalloc_min:
-        ntiles += 1
-        nalloc = ntiles * tile + support - 1
+    max_start = ngrid + half
+    ntx = max_start // tile_x + 1
+    nalloc_x = max((ntx - 1) * tile_x + patch_x, nalloc_min)
+    nty = max_start // tile_y + 1
+    nalloc_y = max((nty - 1) * tile_y + patch_y, nalloc_min)
 
     if use_native:
         cols = _native.plan_arrays(
@@ -344,8 +381,9 @@ def make_plan(
             inv_du=1.0 / du,
             ngrid=ngrid,
             support=support,
-            tile_cells=tile,
-            ntiles=ntiles,
+            tile_cells_x=tile_x,
+            tile_cells_y=tile_y,
+            ntiles_y=nty,
             wstacking=wstacking,
             w0_plane=w0_plane,
             dw=dw,
@@ -364,12 +402,14 @@ def make_plan(
         flip_sorted = _native.gather(cols["flip"], order).astype(bool)
     else:
         # Footprint start cell: W consecutive cells centred on the
-        # coordinate: x0 = floor(x) - W/2 + 1
+        # coordinate, in the alloc frame (wrapped into [0, ngrid) then
+        # offset by W so footprints never go negative):
+        # x0 = floor(x) - W/2 + 1
         x = np.mod(u / du + ngrid / 2.0, ngrid) + support
         y = np.mod(v / du + ngrid / 2.0, ngrid) + support
         x0 = np.floor(x).astype(np.int64) - half + 1
         y0 = np.floor(y).astype(np.int64) - half + 1
-        tile_id = (x0 // tile) * ntiles + (y0 // tile)
+        tile_id = (x0 // tile_x) * nty + (y0 // tile_y)
 
         if wstacking:
             wbin = np.floor((w - w0_plane) / dw + 0.5).astype(np.int64)
@@ -390,13 +430,13 @@ def make_plan(
         ws_sorted = w[order].astype(np.float32)
         flip_sorted = flip[order]
 
-    # --- block decomposition -------------------------------------------
+    # --- block decomposition (in sorted space) -------------------------
     if num_vis:
         boundaries = np.flatnonzero(np.diff(tile_sorted)) + 1
         group_starts = np.concatenate(([0], boundaries))
         group_ends = np.concatenate((boundaries, [num_vis]))
         num_per_group = -(-(group_ends - group_starts) // block)
-        block_start = np.concatenate(
+        sorted_start = np.concatenate(
             [
                 np.arange(gstart, gend, block)
                 for gstart, gend in zip(group_starts, group_ends)
@@ -404,23 +444,23 @@ def make_plan(
         ).astype(np.int64)
         group_end_rep = np.repeat(group_ends, num_per_group)
         block_len = (
-            np.minimum(block_start + block, group_end_rep) - block_start
+            np.minimum(sorted_start + block, group_end_rep) - sorted_start
         )
     else:
-        block_start = np.zeros(0, dtype=np.int64)
+        sorted_start = np.zeros(0, dtype=np.int64)
         block_len = np.zeros(0, dtype=np.int64)
 
-    num_blocks = len(block_start)
+    num_blocks = len(sorted_start)
     block_tile = (
-        tile_sorted[block_start] if num_blocks else np.zeros(0, np.int64)
+        tile_sorted[sorted_start] if num_blocks else np.zeros(0, np.int64)
     )
-    block_ox = ((block_tile // ntiles) * tile).astype(np.int32)
-    block_oy = ((block_tile % ntiles) * tile).astype(np.int32)
+    block_ox = ((block_tile // nty) * tile_x).astype(np.int32)
+    block_oy = ((block_tile % nty) * tile_y).astype(np.int32)
 
     # w-bin extent per block -> active plane range [lo - h, hi + h]
     if num_blocks:
-        bin_lo = wbin_sorted[block_start]  # wbin ascending within a tile
-        bin_hi = wbin_sorted[block_start + block_len - 1]
+        bin_lo = wbin_sorted[sorted_start]  # ascending within a tile
+        bin_hi = wbin_sorted[sorted_start + block_len - 1]
         plane_lo = np.maximum(bin_lo - half, 0)
         plane_hi = np.minimum(bin_hi + half, nplanes - 1)
     else:
@@ -432,32 +472,49 @@ def make_plan(
     )
     max_active = active_table.shape[1]
 
-    # Pad block arrays to the requested common size (empty blocks)
+    # --- block-slot re-packing -----------------------------------------
+    # Slot layout: block b owns [b*B, (b+1)*B); every DMA offset is
+    # b*B, statically aligned. slot_src maps slots to sorted indices
+    # (sentinel num_vis for padding).
     num_blocks_padded = max(num_blocks, min_blocks, 1)
+    num_slots = num_blocks_padded * block
+    slot_idx = np.arange(num_slots)
+    slot_block = slot_idx // block
+    slot_lane = slot_idx % block
+    block_len_padded = np.zeros(num_blocks_padded, dtype=np.int64)
+    block_len_padded[:num_blocks] = block_len
+    sorted_start_padded = np.zeros(num_blocks_padded, dtype=np.int64)
+    sorted_start_padded[:num_blocks] = sorted_start
+    slot_valid = slot_lane < block_len_padded[slot_block]
+    slot_src = np.where(
+        slot_valid,
+        sorted_start_padded[slot_block] + slot_lane,
+        num_vis,
+    )
 
-    def _pad(arr, dtype):
+    def _slotted(sorted_values, pad_value, dtype):
+        padded = np.append(
+            np.asarray(sorted_values, dtype=dtype),
+            np.asarray(pad_value, dtype=dtype)[None],
+        )
+        return padded[slot_src]
+
+    def _pad_blocks(arr, dtype):
         out = np.zeros(num_blocks_padded, dtype=dtype)
         out[: len(arr)] = arr
         return out
 
     plane_w = w0_plane + dw * np.arange(nplanes, dtype=np.float64)
-    quad_nodes, quad_folded = gauss_legendre_kernel_quadrature(support, beta)
-
-    # Sorted per-visibility arrays, padded by one block so dynamic
-    # slices of length B never run out of bounds. Padded slots carry
-    # order == num_vis (dropped on scatter, clamped on gather) and are
-    # masked off by every block's length.
-    def _sorted_padded(sorted_values, pad_value, dtype):
-        out = np.full(num_vis + block, pad_value, dtype=dtype)
-        if num_vis:
-            out[:num_vis] = sorted_values
-        return out
+    quad_nodes, quad_folded = gauss_legendre_kernel_quadrature(
+        support, beta
+    )
 
     return GridderPlan(
         num_pixels=num_pixels,
         pixel_size_lm=float(pixel_size_lm),
         ngrid=ngrid,
-        nalloc=nalloc,
+        nalloc_x=nalloc_x,
+        nalloc_y=nalloc_y,
         support=support,
         beta=float(beta),
         sigma=float(sigma),
@@ -467,25 +524,27 @@ def make_plan(
         dw=float(dw),
         w0=float(w0_plane),
         n_mid=float(n_mid),
-        patch=patch,
-        tile=tile,
+        patch_x=patch_x,
+        patch_y=patch_y,
+        tile_x=tile_x,
+        tile_y=tile_y,
         block=block,
         num_blocks=num_blocks_padded,
         max_active=max_active,
         num_vis_data=num_vis,
-        order=np.concatenate(
-            [order, np.full(block, num_vis)]
+        order=_slotted(order, num_vis, np.int64).astype(np.int32),
+        flip=_slotted(flip_sorted, False, bool),
+        x0=_slotted(x0_sorted, support, np.int32),
+        y0=_slotted(y0_sorted, support, np.int32),
+        fx=_slotted(fx_sorted, 0.5, np.float32),
+        fy=_slotted(fy_sorted, 0.5, np.float32),
+        ws=_slotted(ws_sorted, 0.0, np.float32),
+        block_start=(
+            np.arange(num_blocks_padded, dtype=np.int64) * block
         ).astype(np.int32),
-        flip=_sorted_padded(flip_sorted, False, bool),
-        x0=_sorted_padded(x0_sorted, support, np.int32),
-        y0=_sorted_padded(y0_sorted, support, np.int32),
-        fx=_sorted_padded(fx_sorted, 0.5, np.float32),
-        fy=_sorted_padded(fy_sorted, 0.5, np.float32),
-        ws=_sorted_padded(ws_sorted, 0.0, np.float32),
-        block_start=_pad(block_start, np.int32),
-        block_len=_pad(block_len, np.int32),
-        block_ox=_pad(block_ox, np.int32),
-        block_oy=_pad(block_oy, np.int32),
+        block_len=_pad_blocks(block_len, np.int32),
+        block_ox=_pad_blocks(block_ox, np.int32),
+        block_oy=_pad_blocks(block_oy, np.int32),
         active_table=active_table,
         plane_w=plane_w.astype(np.float32),
         quad_nodes=quad_nodes,
