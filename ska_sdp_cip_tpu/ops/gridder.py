@@ -431,7 +431,7 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
     return invert
 
 
-def build_predict(plan: GridderPlan):
+def build_predict(plan: GridderPlan, *, gridder: str | None = None):
     """
     Returns a jitted ``predict(arrays, image) -> (vis_re, vis_im)``:
     the exact adjoint of :func:`build_invert`'s operator, i.e. the
@@ -447,6 +447,92 @@ def build_predict(plan: GridderPlan):
     num_slots = plan.num_vis
     num_out = plan.num_vis_data
     num_chunks = _padded_active(plan) // G
+    mode = resolve_gridder_mode(gridder)
+
+    degrid_plane = None
+    if mode.startswith("pallas"):
+        from .pallas_gridder import build_degrid_planes_pallas
+
+        degrid_plane = build_degrid_planes_pallas(
+            plan, interpret=(mode == "pallas_interpret")
+        )
+
+    def _screened_alloc(arrays, img0, w_p):
+        """Screen, pad, FFT, unfold one plane's grid (XLA side)."""
+        if plan.wstacking:
+            theta = (2.0 * np.pi * w_p) * arrays["nm1s"]
+            img_re = img0 * jnp.cos(theta)
+            img_im = img0 * jnp.sin(theta)
+        else:
+            img_re = img0
+            img_im = jnp.zeros_like(img0)
+
+        pad_re = jnp.zeros((N, N), jnp.float32)
+        pad_im = jnp.zeros((N, N), jnp.float32)
+        pad_re = lax.dynamic_update_slice(pad_re, img_re, (crop0, crop0))
+        pad_im = lax.dynamic_update_slice(pad_im, img_im, (crop0, crop0))
+        pad_re = _shift2(pad_re, N // 2)
+        pad_im = _shift2(pad_im, N // 2)
+        grid_re, grid_im = fft2_split(pad_re, pad_im, arrays, sign=-1)
+        grid_re = _shift2(grid_re, N // 2)
+        grid_im = _shift2(grid_im, N // 2)
+        return _unfold_wraps(plan, grid_re), _unfold_wraps(plan, grid_im)
+
+    def _finalize(arrays, acc_re, acc_im):
+        """Post-phase, conjugate flips, scatter back to input order."""
+        if plan.wstacking:
+            phase = (2.0 * np.pi * plan.n_mid) * arrays["ws"]
+            cos = jnp.cos(phase)
+            sin = jnp.sin(phase)
+            acc_re, acc_im = (
+                acc_re * cos - acc_im * sin,
+                acc_re * sin + acc_im * cos,
+            )
+        acc_im = acc_im * arrays["flip_sign"]
+        out_re = (
+            jnp.zeros((num_out,), jnp.float32)
+            .at[arrays["order"]]
+            .set(acc_re, mode="drop")
+        )
+        out_im = (
+            jnp.zeros((num_out,), jnp.float32)
+            .at[arrays["order"]]
+            .set(acc_im, mode="drop")
+        )
+        return out_re, out_im
+
+    if mode.startswith("pallas"):
+
+        @jax.jit
+        def predict_pallas(arrays: dict, image):
+            img0 = jnp.asarray(image, jnp.float32) * arrays["inv_corr"]
+
+            def plane_body(carry, p):
+                acc = carry
+                w_p = arrays["plane_w"][p]
+                alloc_re, alloc_im = _screened_alloc(arrays, img0, w_p)
+                contrib = degrid_plane(
+                    arrays["active_table"][p],
+                    arrays["block_start"],
+                    arrays["block_len"],
+                    arrays["block_ox"],
+                    arrays["block_oy"],
+                    arrays["active_count"][p][None],
+                    arrays["packed"],
+                    alloc_re,
+                    alloc_im,
+                    w_p,
+                )
+                return acc + contrib, None
+
+            acc, _ = lax.scan(
+                plane_body,
+                jnp.zeros((2, num_slots), jnp.float32),
+                jnp.arange(plan.nplanes),
+            )
+            return _finalize(arrays, acc[0], acc[1])
+
+        return predict_pallas
 
     @jax.jit
     def predict(arrays: dict, image):
@@ -458,29 +544,7 @@ def build_predict(plan: GridderPlan):
             active_row = arrays["active_table"][p]
             active_count = arrays["active_count"][p]
 
-            if plan.wstacking:
-                theta = (2.0 * np.pi * w_p) * arrays["nm1s"]
-                img_re = img0 * jnp.cos(theta)
-                img_im = img0 * jnp.sin(theta)
-            else:
-                img_re = img0
-                img_im = jnp.zeros_like(img0)
-
-            pad_re = jnp.zeros((N, N), jnp.float32)
-            pad_im = jnp.zeros((N, N), jnp.float32)
-            pad_re = lax.dynamic_update_slice(
-                pad_re, img_re, (crop0, crop0)
-            )
-            pad_im = lax.dynamic_update_slice(
-                pad_im, img_im, (crop0, crop0)
-            )
-            pad_re = _shift2(pad_re, N // 2)
-            pad_im = _shift2(pad_im, N // 2)
-            grid_re, grid_im = fft2_split(pad_re, pad_im, arrays, sign=-1)
-            grid_re = _shift2(grid_re, N // 2)
-            grid_im = _shift2(grid_im, N // 2)
-            alloc_re = _unfold_wraps(plan, grid_re)
-            alloc_im = _unfold_wraps(plan, grid_im)
+            alloc_re, alloc_im = _screened_alloc(arrays, img0, w_p)
 
             def chunk_body(carry, ci):
                 start = ci * G
@@ -547,28 +611,7 @@ def build_predict(plan: GridderPlan):
         (acc_re, acc_im), _ = lax.scan(
             plane_body, (zeros, zeros), jnp.arange(plan.nplanes)
         )
-
-        if plan.wstacking:
-            phase = (2.0 * np.pi * plan.n_mid) * arrays["ws"]
-            cos = jnp.cos(phase)
-            sin = jnp.sin(phase)
-            acc_re, acc_im = (
-                acc_re * cos - acc_im * sin,
-                acc_re * sin + acc_im * cos,
-            )
-        acc_im = acc_im * arrays["flip_sign"]
-        # Padded slots carry order == num_vis_data and are dropped.
-        out_re = (
-            jnp.zeros((num_out,), jnp.float32)
-            .at[arrays["order"]]
-            .set(acc_re, mode="drop")
-        )
-        out_im = (
-            jnp.zeros((num_out,), jnp.float32)
-            .at[arrays["order"]]
-            .set(acc_im, mode="drop")
-        )
-        return out_re, out_im
+        return _finalize(arrays, acc_re, acc_im)
 
     return predict
 

@@ -52,6 +52,26 @@ def pack_plan_columns(plan: GridderPlan) -> np.ndarray:
     return packed
 
 
+def _dot3_bf16(lhs, rhs, contract):
+    """
+    f32-accurate contraction from three native bf16 MXU passes
+    (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi): Mosaic supports neither
+    HIGH nor HIGHEST dot precision in-kernel, and single-pass bf16
+    (2^-8 products) misses the gridder's 1e-4..1e-5 accuracy contract.
+    """
+    lhs_hi = lhs.astype(jnp.bfloat16)
+    rhs_hi = rhs.astype(jnp.bfloat16)
+    lhs_lo = (lhs - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    rhs_lo = (rhs - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(a, b):
+        return lax.dot_general(
+            a, b, contract, preferred_element_type=jnp.float32
+        )
+
+    return dot(lhs_hi, rhs_hi) + dot(lhs_hi, rhs_lo) + dot(lhs_lo, rhs_hi)
+
+
 def _grid_plane_kernel_factory(plan: GridderPlan):
     PX, PY = plan.patch_x, plan.patch_y
     B, W = plan.block, plan.support
@@ -136,6 +156,10 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
         changed = jnp.logical_or(ox_i != prev[0], oy_i != prev[1])
 
         def flush(ox, oy):
+            # Re-state alignment facts (origins may come back from the
+            # SMEM carry, where Mosaic loses track of divisibility).
+            ox = pl.multiple_of(ox, 8)
+            oy = pl.multiple_of(oy, 128)
             read_re = pltpu.make_async_copy(
                 alloc_re.at[pl.ds(ox, PX), pl.ds(oy, PY)],
                 tmp_re,
@@ -213,17 +237,11 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
 
             # patch[p, q] += sum_b ax[p, b] * val[b] * ay[q, b]
             contract = (((1,), (1,)), ((), ()))
-            patch_re[:] = patch_re[:] + lax.dot_general(
-                ax * (vre * amp),
-                ay,
-                contract,
-                preferred_element_type=jnp.float32,
+            patch_re[:] = patch_re[:] + _dot3_bf16(
+                ax * (vre * amp), ay, contract
             )
-            patch_im[:] = patch_im[:] + lax.dot_general(
-                ax * (vim * amp),
-                ay,
-                contract,
-                preferred_element_type=jnp.float32,
+            patch_im[:] = patch_im[:] + _dot3_bf16(
+                ax * (vim * amp), ay, contract
             )
 
         @pl.when(i == n - 1)
@@ -231,6 +249,259 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
             flush(ox_i, oy_i)
 
     return kernel
+
+
+def _degrid_plane_kernel_factory(plan: GridderPlan):
+    PX, PY = plan.patch_x, plan.patch_y
+    B, W = plan.block, plan.support
+    beta = plan.beta
+    inv_whalf = 2.0 / (W * plan.dw)
+    wstacking = plan.wstacking
+
+    def kernel(
+        # scalar prefetch
+        active_row,
+        block_start,
+        block_len,
+        block_ox,
+        block_oy,
+        active_count,
+        # inputs
+        packed_hbm,
+        wp_ref,
+        alloc_re_hbm,
+        alloc_im_hbm,
+        out_in,
+        # outputs (out aliased)
+        out_hbm,  # (2, num_vis) per-plane contributions
+        # scratch
+        pack_buf,
+        patch_re,
+        patch_im,
+        con_buf,
+        prev,
+        dma_sems,
+        patch_sems,
+        out_sems,
+    ):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        count = active_count[0]
+
+        def block_meta(slot):
+            b = jnp.maximum(active_row[jnp.minimum(slot, n - 1)], 0)
+            start = pl.multiple_of(b * B, B)
+            ox = pl.multiple_of(block_ox[b], 8)
+            oy = pl.multiple_of(block_oy[b], 128)
+            return start, block_len[b], ox, oy
+
+        def pack_dma(slot, buf):
+            s, _, _, _ = block_meta(slot)
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(s, B)],
+                pack_buf.at[buf],
+                dma_sems.at[buf],
+            )
+
+        def load_patch(ox, oy):
+            ox = pl.multiple_of(ox, 8)
+            oy = pl.multiple_of(oy, 128)
+            read_re = pltpu.make_async_copy(
+                alloc_re_hbm.at[pl.ds(ox, PX), pl.ds(oy, PY)],
+                patch_re,
+                patch_sems.at[0],
+            )
+            read_im = pltpu.make_async_copy(
+                alloc_im_hbm.at[pl.ds(ox, PX), pl.ds(oy, PY)],
+                patch_im,
+                patch_sems.at[1],
+            )
+            read_re.start()
+            read_im.start()
+            read_re.wait()
+            read_im.wait()
+
+        s_i, len_i, ox_i, oy_i = block_meta(i)
+
+        @pl.when(i == 0)
+        def _():
+            pack_dma(0, 0).start()
+            load_patch(ox_i, oy_i)
+            prev[0] = ox_i
+            prev[1] = oy_i
+
+        @pl.when(i + 1 < n)
+        def _():
+            pack_dma(i + 1, (i + 1) % 2).start()
+
+        changed = jnp.logical_or(ox_i != prev[0], oy_i != prev[1])
+
+        @pl.when(jnp.logical_and(i > 0, changed))
+        def _():
+            load_patch(ox_i, oy_i)
+            prev[0] = ox_i
+            prev[1] = oy_i
+
+        pack_dma(i, i % 2).wait()
+
+        # Wait for the step-(i-2) contribution write before reusing its
+        # half of the double buffer (only if that step actually wrote).
+        @pl.when(jnp.logical_and(i >= 2, (i - 2) < count))
+        def _():
+            prev_s, _, _, _ = block_meta(i - 2)
+            pltpu.make_async_copy(
+                con_buf.at[i % 2],
+                out_hbm.at[:, pl.ds(prev_s, B)],
+                out_sems.at[i % 2],
+            ).wait()
+
+        @pl.when(i < count)
+        def _():
+            buf = i % 2
+            data = pack_buf[buf]
+            fx = data[0:1, :]
+            fy = data[1:2, :]
+            ws = data[2:3, :]
+            x0 = lax.bitcast_convert_type(data[3:4, :], jnp.int32)
+            y0 = lax.bitcast_convert_type(data[4:5, :], jnp.int32)
+
+            iota_x = lax.broadcasted_iota(jnp.int32, (PX, B), 0)
+            iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0)
+            rx = iota_x - (x0 - ox_i)
+            ry = iota_y - (y0 - oy_i)
+            inv_half = jnp.float32(2.0 / W)
+            ax = es_kernel_jnp(
+                (rx.astype(jnp.float32) - fx) * inv_half, beta
+            )
+            ay = es_kernel_jnp(
+                (ry.astype(jnp.float32) - fy) * inv_half, beta
+            )
+
+            lane = lax.broadcasted_iota(jnp.int32, (1, B), 1) < len_i
+            if wstacking:
+                kw = es_kernel_jnp(
+                    (wp_ref[0, 0] - ws) * inv_whalf, beta
+                )
+            else:
+                kw = jnp.ones_like(ws)
+            amp = jnp.where(lane, kw, 0.0)
+
+            # con[b] = sum_pq patch[p, q] ax[p, b] ay[q, b]
+            #        = sum_q ay[q, b] * (patch^T @ ax)[q, b]
+            contract0 = (((0,), (0,)), ((), ()))
+            t_re = _dot3_bf16(patch_re[:], ax, contract0)  # (PY, B)
+            t_im = _dot3_bf16(patch_im[:], ax, contract0)
+            con_re = jnp.sum(t_re * ay, axis=0, keepdims=True) * amp
+            con_im = jnp.sum(t_im * ay, axis=0, keepdims=True) * amp
+            con_buf[buf, 0:1, :] = con_re
+            con_buf[buf, 1:2, :] = con_im
+            pltpu.make_async_copy(
+                con_buf.at[buf],
+                out_hbm.at[:, pl.ds(s_i, B)],
+                out_sems.at[buf],
+            ).start()
+
+        @pl.when(i == n - 1)
+        def _():
+            # Drain outstanding contribution writes
+            @pl.when(i < count)
+            def _():
+                pltpu.make_async_copy(
+                    con_buf.at[i % 2],
+                    out_hbm.at[:, pl.ds(s_i, B)],
+                    out_sems.at[i % 2],
+                ).wait()
+
+            @pl.when(jnp.logical_and(i >= 1, (i - 1) < count))
+            def _():
+                prev_s, _, _, _ = block_meta(i - 1)
+                pltpu.make_async_copy(
+                    con_buf.at[(i - 1) % 2],
+                    out_hbm.at[:, pl.ds(prev_s, B)],
+                    out_sems.at[(i - 1) % 2],
+                ).wait()
+
+    return kernel
+
+
+def build_degrid_planes_pallas(
+    plan: GridderPlan, *, interpret: bool = False
+):
+    """
+    Returns ``degrid_plane(active_row, block_start, block_len,
+    block_ox, block_oy, active_count, packed, alloc_re, alloc_im, w_p)
+    -> (2, num_vis)``: per-plane visibility contributions read off a
+    (already FFT'd and unfolded) uv grid. The caller accumulates
+    across planes.
+    """
+    B = plan.block
+    num_vis = plan.num_vis
+    num_steps = max(plan.active_table.shape[1], 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_p
+            pl.BlockSpec(memory_space=pltpu.ANY),  # alloc_re
+            pl.BlockSpec(memory_space=pltpu.ANY),  # alloc_im
+            pl.BlockSpec(memory_space=pltpu.ANY),  # out zeros
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK_COLS, plan.block), jnp.float32),
+            pltpu.VMEM((plan.patch_x, plan.patch_y), jnp.float32),
+            pltpu.VMEM((plan.patch_x, plan.patch_y), jnp.float32),
+            pltpu.VMEM((2, 2, plan.block), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = _degrid_plane_kernel_factory(plan)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, num_vis), jnp.float32),
+        # out zeros input (position 10 after 6 prefetch + packed, w_p,
+        # alloc_re, alloc_im) aliases the output
+        input_output_aliases={10: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def degrid_plane(
+        active_row,
+        block_start,
+        block_len,
+        block_ox,
+        block_oy,
+        active_count,
+        packed,
+        alloc_re,
+        alloc_im,
+        w_p,
+    ):
+        zeros = jnp.zeros((2, num_vis), jnp.float32)
+        return call(
+            active_row,
+            block_start,
+            block_len,
+            block_ox,
+            block_oy,
+            active_count,
+            packed,
+            w_p.reshape(1, 1),
+            alloc_re,
+            alloc_im,
+            zeros,
+        )
+
+    return degrid_plane
 
 
 def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):

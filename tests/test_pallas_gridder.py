@@ -46,6 +46,39 @@ def test_pallas_matches_xla(apply_w):
     np.testing.assert_allclose(
         pallas_image,
         xla_image,
-        atol=1e-5 * np.abs(xla_image).max(),
-        rtol=1e-4,
+        atol=2e-5 * np.abs(xla_image).max(),
+        rtol=1e-3,
+    )
+
+
+@pytest.mark.parametrize("apply_w", [False, True])
+def test_pallas_degrid_matches_xla(apply_w):
+    from ska_sdp_cip_tpu.ops.gridder import build_predict
+
+    rng = np.random.default_rng(31)
+    uvw, _ = synthetic_uvw(3, 10, max_baseline_m=5000.0, seed=29)
+    freqs = np.array([1.0e9, 1.07e9])
+    pix = float(np.sin(np.radians(40.0 / 3600)))
+
+    plan = make_plan(
+        uvw, freqs, 96, pix, epsilon=1e-4, do_wstacking=apply_w
+    )
+    arrays = plan_device_arrays(plan)
+    image = rng.normal(size=(96, 96)).astype(np.float32)
+
+    xla_re, xla_im = build_predict(plan, gridder="xla")(
+        arrays, jnp.asarray(image)
+    )
+    pal_re, pal_im = build_predict(plan, gridder="pallas_interpret")(
+        arrays, jnp.asarray(image)
+    )
+    scale = max(
+        np.abs(np.asarray(xla_re)).max(),
+        np.abs(np.asarray(xla_im)).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal_re), np.asarray(xla_re), atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal_im), np.asarray(xla_im), atol=2e-5 * scale
     )
