@@ -22,7 +22,6 @@ platforms with complex support and for cross-validation in tests.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np
@@ -63,32 +62,62 @@ class FFTPlan:
     tw_sin: np.ndarray
 
 
-def make_fft_plan(n: int) -> FFTPlan:
+def make_fft_plan(n: int, *, shifted: bool = False) -> FFTPlan:
     """
     Build the factor matrices for a length-``n`` DFT with the *negative*
     exponent convention (numpy's forward fft). The inverse transform
     reuses the same plan with ``sign=+1`` (factors are conjugated by
     flipping the sine terms at apply time).
+
+    With ``shifted=True`` the factors implement the *centred* transform
+    ``fftshift o DFT o ifftshift`` (even n), i.e.
+    ``M[k, j] = c * (-1)^(k+j) * W^(kj)`` with the constant
+    ``c = exp(sign * i pi n / 2)`` — the shift permutations the gridder
+    would otherwise pay as full-array roll passes are free inside the
+    factor matrices. The constant is folded as a rotation of the D2
+    factor, which works for both transform signs because conjugating
+    (cos, sin) -> (cos, -sin) conjugates ``c`` along with the rest.
     """
     n1, n2 = _near_square_factors(n)
 
+    j1 = np.arange(n1)
+    j2 = np.arange(n2)
     # D1[k1, j1] = exp(-2 pi i j1 k1 / n1)   (applied from the left)
-    a1 = 2.0 * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1
+    a1 = 2.0 * np.pi * np.outer(j1, j1) / n1
     # D2[j2, k2] = exp(-2 pi i j2 k2 / n2)   (applied from the right)
-    a2 = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
+    a2 = 2.0 * np.pi * np.outer(j2, j2) / n2
     # twiddle[k1, j2] = exp(-2 pi i j2 k1 / n)
-    at = 2.0 * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n
+    at = 2.0 * np.pi * np.outer(j1, j2) / n
+
+    d1 = np.exp(-1j * a1)
+    d2 = np.exp(-1j * a2)
+    tw = np.exp(-1j * at)
+
+    if shifted:
+        if n % 2:
+            raise ValueError("shifted transform requires even n")
+        # (-1)^j with j = j1 * n2 + j2 and (-1)^k with k = k1 + n1 * k2:
+        # fold the j1/k1 parts into D1/twiddle, the j2/k2 parts plus the
+        # constant exp(-i pi n / 2) into D2.
+        sign_j1 = (-1.0) ** (j1 * n2)
+        sign_k1 = (-1.0) ** j1  # k1 ranges over arange(n1)
+        sign_j2 = (-1.0) ** j2
+        sign_k2 = (-1.0) ** (n1 * j2)  # k2 ranges over arange(n2)
+        constant = np.exp(-1j * np.pi * (n / 2.0))
+        d1 = d1 * sign_j1[None, :]
+        tw = tw * sign_k1[:, None]
+        d2 = d2 * sign_j2[:, None] * sign_k2[None, :] * constant
 
     return FFTPlan(
         n=n,
         n1=n1,
         n2=n2,
-        d1_cos=np.cos(a1).astype(np.float32),
-        d1_sin=np.sin(a1).astype(np.float32),
-        d2_cos=np.cos(a2).astype(np.float32),
-        d2_sin=np.sin(a2).astype(np.float32),
-        tw_cos=np.cos(at).astype(np.float32),
-        tw_sin=np.sin(at).astype(np.float32),
+        d1_cos=np.real(d1).astype(np.float32),
+        d1_sin=(-np.imag(d1)).astype(np.float32),
+        d2_cos=np.real(d2).astype(np.float32),
+        d2_sin=(-np.imag(d2)).astype(np.float32),
+        tw_cos=np.real(tw).astype(np.float32),
+        tw_sin=(-np.imag(tw)).astype(np.float32),
     )
 
 
@@ -118,75 +147,129 @@ def _cmatmul(ar, ai, br, bi, sign_b: float):
     return rr - sign_b * ii, sign_b * ri + ir
 
 
-def fft_last_axis(re, im, f, *, sign: int, prefix: str = "fft"):
-    """
-    DFT along the last axis of (..., n) split arrays. ``sign=-1`` is
-    the forward (numpy fft) transform, ``sign=+1`` the unnormalized
-    inverse (scale by 1/n yourself if needed). ``f`` is the dict from
-    :func:`fft_plan_arrays`.
-    """
+def _factors(f, prefix, sign):
     d1_cos = f[f"{prefix}_d1_cos"]
     d1_sin = f[f"{prefix}_d1_sin"]
     d2_cos = f[f"{prefix}_d2_cos"]
     d2_sin = f[f"{prefix}_d2_sin"]
     tw_cos = f[f"{prefix}_tw_cos"]
     tw_sin = f[f"{prefix}_tw_sin"]
+    # Factors store (cos a, sin a) of the -i convention matrices;
+    # D(sign) = cos + i * sign * sin conjugates cleanly for sign=+1.
+    return d1_cos, d1_sin, d2_cos, d2_sin, tw_cos, tw_sin, float(sign)
+
+
+def fft_last_axis(re, im, f, *, sign: int, prefix: str = "fft"):
+    """
+    DFT along the last axis of (..., n) split arrays. ``sign=-1`` is
+    the forward (numpy fft) transform, ``sign=+1`` the unnormalized
+    inverse (scale by 1/n yourself if needed). ``f`` is the dict from
+    :func:`fft_plan_arrays`. The four-step output reorder rides inside
+    the stage-2 einsum (no explicit transpose pass).
+    """
+    d1_cos, d1_sin, d2_cos, d2_sin, tw_cos, tw_sin, s = _factors(
+        f, prefix, sign
+    )
     n1, n2 = d1_cos.shape[0], d2_cos.shape[0]
     n = n1 * n2
-    s = float(sign)
+    precision = _precision()
 
     batch = re.shape[:-1]
     xr = re.reshape((-1, n1, n2))
     xi = im.reshape((-1, n1, n2))
 
-    # Stage 1: A[k1, n2] = sum_{n1} D1[k1, n1] x[n1, n2]
-    # (left-multiply within each batch element)
-    precision = _precision()
+    # Stage 1: Y[b, k1, n2] = sum_{j1} D1[k1, j1] x[b, j1, n2]
+    def stage1(x):
+        return (
+            jnp.einsum("kj,bjn->bkn", d1_cos, x, precision=precision),
+            jnp.einsum("kj,bjn->bkn", d1_sin, x, precision=precision),
+        )
 
-    def lmat(cr, ci):
-        # (n1, n1) @ (B, n1, n2): contract axis 1
-        ar = jnp.einsum("kj,bjn->bkn", cr, xr, precision=precision)
-        ai_ = jnp.einsum("kj,bjn->bkn", cr, xi, precision=precision)
-        br = jnp.einsum("kj,bjn->bkn", ci, xr, precision=precision)
-        bi = jnp.einsum("kj,bjn->bkn", ci, xi, precision=precision)
-        # D1 = cos - sign*... : D1 = exp(sign * -? ...)
-        return ar, ai_, br, bi
+    cr_x, sr_x = stage1(xr)
+    ci_x, si_x = stage1(xi)
+    yr = cr_x - s * si_x
+    yi = ci_x + s * sr_x
 
-    # D1 = cos(a) + s_c * i sin(a) with s_c = sign (factors built with
-    # the -2pi convention; sign=-1 keeps them, sign=+1 conjugates).
-    # exp(sign * 2pi i ...)? Factors store angle a = +2pi jk/n so
-    # D(sign)[j,k] = cos(a) + i sign * sin(... wait: forward (numpy)
-    # uses exp(-i a) = cos(a) - i sin(a) => sign=-1 -> -sin.
-    ar, ai_, br, bi = lmat(d1_cos, d1_sin)
-    yr = ar - s * bi
-    yi = ai_ + s * br
-
-    # Twiddle: multiply by exp(sign * i * at[k1, j2])
+    # Twiddle: multiply by T(sign)[k1, n2]
     tr = tw_cos[None, :, :]
     ti = s * tw_sin[None, :, :]
     zr = yr * tr - yi * ti
     zi = yr * ti + yi * tr
 
-    # Stage 2: C[k1, k2] = sum_{j2} z[k1, j2] D2[j2, k2]
-    zr2 = zr.reshape((-1, n2))
-    zi2 = zi.reshape((-1, n2))
-    cr, ci2 = _cmatmul(zr2, zi2, d2_cos, d2_sin, sign_b=s)
-    cr = cr.reshape((-1, n1, n2))
-    ci2 = ci2.reshape((-1, n1, n2))
+    # Stage 2 with fused reorder: out[b, k2, k1] = sum_n z[b, k1, n]
+    # D2[n, k2]; flattening (k2, k1) row-major yields index
+    # k1 + n1 * k2 = k.
+    def stage2(z):
+        return (
+            jnp.einsum("bkn,nq->bqk", z, d2_cos, precision=precision),
+            jnp.einsum("bkn,nq->bqk", z, d2_sin, precision=precision),
+        )
 
-    # Output index is k1 + n1 * k2 -> transpose (k1, k2) -> (k2, k1)
-    outr = jnp.swapaxes(cr, -1, -2).reshape(batch + (n,))
-    outi = jnp.swapaxes(ci2, -1, -2).reshape(batch + (n,))
-    return outr, outi
+    cr_z, sr_z = stage2(zr)
+    ci_z, si_z = stage2(zi)
+    outr = cr_z - s * si_z
+    outi = ci_z + s * sr_z
+    return (
+        outr.reshape(batch + (n,)),
+        outi.reshape(batch + (n,)),
+    )
+
+
+def fft_first_axis(re, im, f, *, sign: int, prefix: str = "fft"):
+    """
+    DFT along the FIRST axis of (n, m) split arrays, transpose-free:
+    both four-step stages contract the leading axis via einsum and the
+    output reorder is fused into stage 2.
+    """
+    d1_cos, d1_sin, d2_cos, d2_sin, tw_cos, tw_sin, s = _factors(
+        f, prefix, sign
+    )
+    n1, n2 = d1_cos.shape[0], d2_cos.shape[0]
+    n = n1 * n2
+    m = re.shape[-1]
+    precision = _precision()
+
+    xr = re.reshape((n1, n2, m))
+    xi = im.reshape((n1, n2, m))
+
+    # Stage 1: Y[k1, n2, m] = sum_{j1} D1[k1, j1] x[j1, n2, m]
+    def stage1(x):
+        return (
+            jnp.einsum("kj,jnm->knm", d1_cos, x, precision=precision),
+            jnp.einsum("kj,jnm->knm", d1_sin, x, precision=precision),
+        )
+
+    cr_x, sr_x = stage1(xr)
+    ci_x, si_x = stage1(xi)
+    yr = cr_x - s * si_x
+    yi = ci_x + s * sr_x
+
+    tr = tw_cos[:, :, None]
+    ti = s * tw_sin[:, :, None]
+    zr = yr * tr - yi * ti
+    zi = yr * ti + yi * tr
+
+    # Stage 2 with fused reorder: out[k2, k1, m] = sum_n z[k1, n, m]
+    # D2[n, k2]; flattening (k2, k1) row-major yields index k.
+    def stage2(z):
+        return (
+            jnp.einsum("knm,nq->qkm", z, d2_cos, precision=precision),
+            jnp.einsum("knm,nq->qkm", z, d2_sin, precision=precision),
+        )
+
+    cr_z, sr_z = stage2(zr)
+    ci_z, si_z = stage2(zi)
+    outr = cr_z - s * si_z
+    outi = ci_z + s * sr_z
+    return outr.reshape((n, m)), outi.reshape((n, m))
 
 
 def fft2_split(re, im, f, *, sign: int, prefix: str = "fft"):
     """
-    2-D DFT of split (re, im) square arrays via two last-axis passes
-    with transposes. Unnormalized in both directions.
+    2-D DFT of split (re, im) square arrays: one last-axis pass and one
+    first-axis pass, no explicit transposes. Unnormalized in both
+    directions. With a ``shifted=True`` plan this computes the centred
+    transform (fftshift o F o ifftshift) on both axes.
     """
     re, im = fft_last_axis(re, im, f, sign=sign, prefix=prefix)
-    re = jnp.swapaxes(re, -1, -2)
-    im = jnp.swapaxes(im, -1, -2)
-    re, im = fft_last_axis(re, im, f, sign=sign, prefix=prefix)
-    return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
+    return fft_first_axis(re, im, f, sign=sign, prefix=prefix)

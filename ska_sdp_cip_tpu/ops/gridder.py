@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .fft import fft2_split, fft_plan_arrays, make_fft_plan
+from .fft import fft2_split, make_fft_plan
 from .kernels import correction_np, es_kernel_jnp
 from .plan import GridderPlan, make_plan
 
@@ -133,7 +133,9 @@ def plan_device_arrays_host(plan: GridderPlan) -> dict:
     from .pallas_gridder import pack_plan_columns
 
     arrays["packed"] = pack_plan_columns(plan)
-    fft_plan = make_fft_plan(ngrid)
+    # Shifted factors: fftshift/ifftshift ride inside the DFT
+    # matrices instead of costing full-array roll passes.
+    fft_plan = make_fft_plan(ngrid, shifted=True)
     arrays.update(
         {
             "fft_d1_cos": fft_plan.d1_cos,
@@ -240,9 +242,6 @@ def _unfold_wraps(plan: GridderPlan, g):
     return alloc
 
 
-def _shift2(x, amount):
-    """fftshift/ifftshift for even sizes: a half-size roll per axis."""
-    return jnp.roll(x, (amount, amount), axis=(0, 1))
 
 
 def resolve_gridder_mode(gridder: str | None) -> str:
@@ -302,15 +301,15 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
                     vis_split,
                     w_p,
                 )
-                grid_re = _shift2(_fold_wraps(plan, grid_re), N // 2)
-                grid_im = _shift2(_fold_wraps(plan, grid_im), N // 2)
+                grid_re = _fold_wraps(plan, grid_re)
+                grid_im = _fold_wraps(plan, grid_im)
                 img_re, img_im = fft2_split(
                     grid_re, grid_im, arrays, sign=+1
                 )
-                img_re = _shift2(img_re, N // 2)[
+                img_re = img_re[
                     crop0 : crop0 + npix, crop0 : crop0 + npix
                 ]
-                img_im = _shift2(img_im, N // 2)[
+                img_im = img_im[
                     crop0 : crop0 + npix, crop0 : crop0 + npix
                 ]
                 if plan.wstacking:
@@ -403,16 +402,12 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
             (grid_re, grid_im), _ = lax.scan(
                 chunk_body, grid0, jnp.arange(num_chunks)
             )
-            grid_re = _shift2(_fold_wraps(plan, grid_re), N // 2)
-            grid_im = _shift2(_fold_wraps(plan, grid_im), N // 2)
+            grid_re = _fold_wraps(plan, grid_re)
+            grid_im = _fold_wraps(plan, grid_im)
             # N^2 * ifft2 == unnormalized inverse DFT (sign=+1)
             img_re, img_im = fft2_split(grid_re, grid_im, arrays, sign=+1)
-            img_re = _shift2(img_re, N // 2)[
-                crop0 : crop0 + npix, crop0 : crop0 + npix
-            ]
-            img_im = _shift2(img_im, N // 2)[
-                crop0 : crop0 + npix, crop0 : crop0 + npix
-            ]
+            img_re = img_re[crop0 : crop0 + npix, crop0 : crop0 + npix]
+            img_im = img_im[crop0 : crop0 + npix, crop0 : crop0 + npix]
             if plan.wstacking:
                 theta = (-2.0 * np.pi * w_p) * arrays["nm1s"]
                 # Only the real part survives the plane sum
@@ -471,11 +466,7 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
         pad_im = jnp.zeros((N, N), jnp.float32)
         pad_re = lax.dynamic_update_slice(pad_re, img_re, (crop0, crop0))
         pad_im = lax.dynamic_update_slice(pad_im, img_im, (crop0, crop0))
-        pad_re = _shift2(pad_re, N // 2)
-        pad_im = _shift2(pad_im, N // 2)
         grid_re, grid_im = fft2_split(pad_re, pad_im, arrays, sign=-1)
-        grid_re = _shift2(grid_re, N // 2)
-        grid_im = _shift2(grid_im, N // 2)
         return _unfold_wraps(plan, grid_re), _unfold_wraps(plan, grid_im)
 
     def _finalize(arrays, acc_re, acc_im):

@@ -140,14 +140,18 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
 
         @pl.when(i == 0)
         def _():
-            for dma in vis_dma(0, 0):
-                dma.start()
+            @pl.when(count > 0)
+            def _():
+                for dma in vis_dma(0, 0):
+                    dma.start()
+
             patch_re[:] = jnp.zeros((PX, PY), jnp.float32)
             patch_im[:] = jnp.zeros((PX, PY), jnp.float32)
             prev[0] = ox_i
             prev[1] = oy_i
 
-        @pl.when(i + 1 < n)
+        # Inactive tail steps (i >= count) skip their DMAs entirely.
+        @pl.when(i + 1 < count)
         def _():
             for dma in vis_dma(i + 1, (i + 1) % 2):
                 dma.start()
@@ -199,8 +203,10 @@ def _grid_plane_kernel_factory(plan: GridderPlan):
             prev[0] = ox_i
             prev[1] = oy_i
 
-        for dma in vis_dma(i, i % 2):
-            dma.wait()
+        @pl.when(i < count)
+        def _():
+            for dma in vis_dma(i, i % 2):
+                dma.wait()
 
         @pl.when(i < count)
         def _():
@@ -325,24 +331,30 @@ def _degrid_plane_kernel_factory(plan: GridderPlan):
 
         @pl.when(i == 0)
         def _():
-            pack_dma(0, 0).start()
-            load_patch(ox_i, oy_i)
+            @pl.when(count > 0)
+            def _():
+                pack_dma(0, 0).start()
+                load_patch(ox_i, oy_i)
+
             prev[0] = ox_i
             prev[1] = oy_i
 
-        @pl.when(i + 1 < n)
+        # Inactive tail steps (i >= count) skip their DMAs entirely.
+        @pl.when(i + 1 < count)
         def _():
             pack_dma(i + 1, (i + 1) % 2).start()
 
         changed = jnp.logical_or(ox_i != prev[0], oy_i != prev[1])
 
-        @pl.when(jnp.logical_and(i > 0, changed))
+        @pl.when(jnp.logical_and(jnp.logical_and(i > 0, changed), i < count))
         def _():
             load_patch(ox_i, oy_i)
             prev[0] = ox_i
             prev[1] = oy_i
 
-        pack_dma(i, i % 2).wait()
+        @pl.when(i < count)
+        def _():
+            pack_dma(i, i % 2).wait()
 
         # Wait for the step-(i-2) contribution write before reusing its
         # half of the double buffer (only if that step actually wrote).

@@ -53,7 +53,7 @@ DEFAULT_PATCH_Y = 256
 
 #: Visibilities per block: the contraction length of the per-block
 #: gridding matmul.
-DEFAULT_BLOCK = 256
+DEFAULT_BLOCK = 512
 
 
 def next_even_grid_size(n: int) -> int:
