@@ -63,6 +63,166 @@ def shard_chunk_counts(
     return row_chunks, freq_chunks
 
 
+
+class ShardedStaging:
+    """Staged SPMD inputs for one (dataset, mesh, imaging config)."""
+
+    def __init__(
+        self,
+        mesh,
+        axis_name,
+        plans,
+        stacked,
+        vis_re,
+        vis_im,
+        weights,
+        total_weight,
+    ):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.plans = plans
+        self.stacked = stacked
+        self.vis_re = vis_re
+        self.vis_im = vis_im
+        self.weights = weights
+        self.total_weight = total_weight
+
+    def in_specs(self):
+        """(arrays, per-shard array...) partition specs."""
+        return {
+            key: P() if _is_replicated(key) else P(self.axis_name)
+            for key in self.stacked
+        }
+
+
+def stage_sharded_inputs(
+    reader: VisibilityReader,
+    num_pixels: int,
+    pixel_size_asec: float,
+    *,
+    mesh: Mesh | None = None,
+    row_chunks: int | None = None,
+    freq_chunks: int | None = None,
+    epsilon: float = 1e-4,
+    do_wstacking: bool = True,
+    weighting: str = "natural",
+    robust: float = 0.0,
+    step=None,
+) -> ShardedStaging:
+    """
+    Partition, load, plan, and stage a dataset onto a device mesh:
+    the shared front half of every sharded operation (invert, major
+    cycle). Returns a :class:`ShardedStaging`.
+    """
+    from contextlib import nullcontext
+
+    if step is None:
+        step = lambda name: nullcontext()  # noqa: E731
+
+    if mesh is None:
+        mesh = make_device_mesh()
+    (axis_name,) = mesh.axis_names
+    num_devices = mesh.devices.size
+
+    row_chunks, freq_chunks = shard_chunk_counts(
+        num_devices, reader.num_channels, row_chunks, freq_chunks
+    )
+    pixel_size_lm = pixel_size_lm_from_asec(pixel_size_asec)
+
+    with step("load_shards"):
+        shards = [
+            StokesIGridderInput.from_reader(chunk)
+            for chunk in reader.partition(row_chunks, freq_chunks)
+        ]
+        if weighting != "natural":
+            # Density fit is global so shards see exactly the weights
+            # a single-device run would (models/weighting.py).
+            from ..models.weighting import fit_weighter_for_reader
+
+            weighter = fit_weighter_for_reader(
+                reader,
+                num_pixels,
+                pixel_size_lm,
+                scheme=weighting,
+                robust=robust,
+            )
+            for shard in shards:
+                shard.weights = weighter.apply(
+                    shard.uvw,
+                    shard.channel_frequencies,
+                    shard.effective_weights(),
+                )
+                shard.flags = np.zeros_like(shard.flags)
+
+    with step("plan_shards"):
+        plans = [
+            make_plan(
+                shard.uvw,
+                shard.channel_frequencies,
+                num_pixels,
+                pixel_size_lm,
+                epsilon=epsilon,
+                do_wstacking=do_wstacking,
+            )
+            for shard in shards
+        ]
+        plans = pad_plans_uniform(plans)
+
+    # Stage inputs as globally-sharded arrays:
+    # jax.make_array_from_callback places each process's addressable
+    # shards only, so the same code path serves single-host meshes and
+    # multi-host slices.
+    with step("stage_shards"):
+        sharded = NamedSharding(mesh, P(axis_name))
+        replicated = NamedSharding(mesh, P())
+
+        def _global(stacked_np, shard_it: bool):
+            stacked_np = np.asarray(stacked_np)
+            return jax.make_array_from_callback(
+                stacked_np.shape,
+                sharded if shard_it else replicated,
+                lambda idx: stacked_np[idx],
+            )
+
+        host_arrays = [plan_device_arrays_host(plan) for plan in plans]
+        stacked = {}
+        for key in host_arrays[0]:
+            if _is_replicated(key):
+                stacked[key] = _global(host_arrays[0][key], False)
+            else:
+                stacked[key] = _global(
+                    np.stack([arrays[key] for arrays in host_arrays]),
+                    True,
+                )
+
+        num_vis = plans[0].num_vis
+        # Split (re, im) float32: the TPU compute path is complex-free.
+        vis_re = np.zeros((num_devices, num_vis), np.float32)
+        vis_im = np.zeros((num_devices, num_vis), np.float32)
+        weights = np.zeros((num_devices, num_vis), np.float32)
+        total_weight = 0.0
+        for i, shard in enumerate(shards):
+            effective = shard.effective_weights().ravel().astype(
+                np.float32
+            )
+            v = shard.visibilities.ravel()
+            vis_re[i, : len(v)] = v.real
+            vis_im[i, : len(v)] = v.imag
+            weights[i, : len(effective)] = effective
+            total_weight += float(effective.sum())
+
+        return ShardedStaging(
+            mesh,
+            axis_name,
+            plans,
+            stacked,
+            _global(vis_re, True),
+            _global(vis_im, True),
+            _global(weights, True),
+            total_weight,
+        )
+
+
 def sharded_invert_dataset(
     reader: VisibilityReader,
     num_pixels: int,
@@ -91,128 +251,41 @@ def sharded_invert_dataset(
         lambda name: nullcontext()
     )
 
-    if mesh is None:
-        mesh = make_device_mesh()
-    (axis_name,) = mesh.axis_names
-    num_devices = mesh.devices.size
-
-    row_chunks, freq_chunks = shard_chunk_counts(
-        num_devices, reader.num_channels, row_chunks, freq_chunks
+    staging = stage_sharded_inputs(
+        reader,
+        num_pixels,
+        pixel_size_asec,
+        mesh=mesh,
+        row_chunks=row_chunks,
+        freq_chunks=freq_chunks,
+        epsilon=epsilon,
+        do_wstacking=do_wstacking,
+        weighting=weighting,
+        robust=robust,
+        step=step,
     )
+    axis_name = staging.axis_name
+    invert = build_invert(staging.plans[0])
 
-    pixel_size_lm = pixel_size_lm_from_asec(pixel_size_asec)
-
-    # -- load + Stokes-I convert each shard (host side) ---------------
-    with step("load_shards"):
-        shards = [
-            StokesIGridderInput.from_reader(chunk)
-            for chunk in reader.partition(row_chunks, freq_chunks)
-        ]
-        if weighting != "natural":
-            # Density fit is global so shards see exactly the weights
-            # a single-device run would (models/weighting.py).
-            from ..models.weighting import fit_weighter_for_reader
-
-            weighter = fit_weighter_for_reader(
-                reader,
-                num_pixels,
-                pixel_size_lm,
-                scheme=weighting,
-                robust=robust,
-            )
-            for shard in shards:
-                shard.weights = weighter.apply(
-                    shard.uvw,
-                    shard.channel_frequencies,
-                    shard.effective_weights(),
-                )
-                shard.flags = np.zeros_like(shard.flags)
-
-    # -- per-shard plans, padded to one static program -----------------
-    with step("plan_shards"):
-        plans = [
-            make_plan(
-                shard.uvw,
-                shard.channel_frequencies,
-                num_pixels,
-                pixel_size_lm,
-                epsilon=epsilon,
-                do_wstacking=do_wstacking,
-            )
-            for shard in shards
-        ]
-        plans = pad_plans_uniform(plans)
-
-    # -- stack inputs as globally-sharded arrays -----------------------
-    # jax.make_array_from_callback places each process's addressable
-    # shards only, so the same code path serves single-host meshes and
-    # multi-host slices (each host feeds its rows of the stacked
-    # arrays; the callback indexes into the host-built stack).
-    with step("stage_shards"):
-        sharded = NamedSharding(mesh, P(axis_name))
-        replicated = NamedSharding(mesh, P())
-
-        def _global(stacked_np, shard_it: bool):
-            stacked_np = np.asarray(stacked_np)
-            return jax.make_array_from_callback(
-                stacked_np.shape,
-                sharded if shard_it else replicated,
-                lambda idx: stacked_np[idx],
-            )
-
-        host_arrays = [plan_device_arrays_host(plan) for plan in plans]
-        stacked = {}
-        for key in host_arrays[0]:
-            if _is_replicated(key):
-                stacked[key] = _global(host_arrays[0][key], False)
-            else:
-                stacked[key] = _global(
-                    np.stack([arrays[key] for arrays in host_arrays]),
-                    True,
-                )
-
-        num_vis = plans[0].num_vis
-        # Split (re, im) float32: the TPU compute path is complex-free.
-        vis_re = np.zeros((num_devices, num_vis), np.float32)
-        vis_im = np.zeros((num_devices, num_vis), np.float32)
-        total_weight = 0.0
-        for i, shard in enumerate(shards):
-            weighted = (
-                shard.visibilities.astype(np.complex64)
-                * shard.effective_weights().astype(np.float32)
-            ).ravel()
-            vis_re[i, : len(weighted)] = weighted.real
-            vis_im[i, : len(weighted)] = weighted.imag
-            total_weight += float(shard.effective_weights().sum())
-        vis_re = _global(vis_re, True)
-        vis_im = _global(vis_im, True)
-
-    # -- one SPMD program over the mesh --------------------------------
-    invert = build_invert(plans[0])
-
-    in_specs = (
-        {
-            key: P() if _is_replicated(key) else P(axis_name)
-            for key in stacked
-        },
-        P(axis_name),
-        P(axis_name),
-    )
-
-    def shard_fn(arrays, vre, vim):
+    def shard_fn(arrays, vre, vim, wgt):
         arrays = {
             key: value if _is_replicated(key) else value[0]
             for key, value in arrays.items()
         }
-        image = invert(arrays, vre[0], vim[0])
+        image = invert(arrays, vre[0] * wgt[0], vim[0] * wgt[0])
         return jax.lax.psum(image, axis_name)
 
     with step("grid_fft_reduce"):
         spmd = jax.jit(
             jax.shard_map(
                 shard_fn,
-                mesh=mesh,
-                in_specs=in_specs,
+                mesh=staging.mesh,
+                in_specs=(
+                    staging.in_specs(),
+                    P(axis_name),
+                    P(axis_name),
+                    P(axis_name),
+                ),
                 out_specs=P(),
                 # The gridding scan starts from an unvarying zero grid
                 # and mixes in shard-varying data; skip the VMA check.
@@ -220,7 +293,14 @@ def sharded_invert_dataset(
             )
         )
         image = np.asarray(
-            jax.block_until_ready(spmd(stacked, vis_re, vis_im))
+            jax.block_until_ready(
+                spmd(
+                    staging.stacked,
+                    staging.vis_re,
+                    staging.vis_im,
+                    staging.weights,
+                )
+            )
         )
 
-    return image / total_weight
+    return image / staging.total_weight
