@@ -1,8 +1,15 @@
-from .clean import hogbom_clean, major_cycle_clean
+from .checkpoint import MajorCycleCheckpoint, graceful_shutdown
+from .clean import build_major_cycle_step, hogbom_clean, major_cycle_clean
 from .operators import MeasurementOperator
+from .weighting import ImagingWeighter, fit_weighter_for_reader
 
 __all__ = [
     "MeasurementOperator",
     "hogbom_clean",
     "major_cycle_clean",
+    "build_major_cycle_step",
+    "MajorCycleCheckpoint",
+    "graceful_shutdown",
+    "ImagingWeighter",
+    "fit_weighter_for_reader",
 ]
