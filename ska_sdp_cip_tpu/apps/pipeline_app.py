@@ -203,6 +203,7 @@ def run_program(cli_args: list[str]) -> None:
             pixel_size_lm_from_asec,
         )
         from ..models import MeasurementOperator, major_cycle_clean
+        from ..models.restore import restore_image
 
         gridder_input = StokesIGridderInput.from_reader(reader)
         operator = MeasurementOperator.build(
@@ -214,17 +215,45 @@ def run_program(cli_args: list[str]) -> None:
             epsilon=args.epsilon,
             do_wstacking=not args.no_wstacking,
         )
-        model, residual = major_cycle_clean(
-            operator,
-            gridder_input.visibilities.ravel(),
-            num_major=args.clean,
-            gain=args.gain,
-            minor_iter=args.minor_iter,
-            checkpoint_dir=args.checkpoint_dir,
-        )
+        if args.devices is not None:
+            # Distributed major cycle over the same mesh shape
+            from ..parallel.mesh import make_device_mesh
+            from ..parallel.sharded_clean import (
+                sharded_major_cycle_clean,
+            )
+
+            num_devices = (
+                None if args.devices == "all" else int(args.devices)
+            )
+            model, residual = sharded_major_cycle_clean(
+                reader,
+                args.num_pixels,
+                args.pixel_size,
+                mesh=make_device_mesh(num_devices),
+                row_chunks=args.row_chunks,
+                freq_chunks=args.freq_chunks,
+                epsilon=args.epsilon,
+                do_wstacking=not args.no_wstacking,
+                num_major=args.clean,
+                gain=args.gain,
+                minor_iter=args.minor_iter,
+            )
+        else:
+            model, residual = major_cycle_clean(
+                operator,
+                gridder_input.visibilities.ravel(),
+                num_major=args.clean,
+                gain=args.gain,
+                minor_iter=args.minor_iter,
+                checkpoint_dir=args.checkpoint_dir,
+            )
         base = args.output_image.with_suffix("")
         np.save(base.with_suffix(".model.npy"), np.asarray(model))
         np.save(base.with_suffix(".residual.npy"), np.asarray(residual))
+        restored = restore_image(
+            model, residual, np.asarray(operator.psf())
+        )
+        np.save(base.with_suffix(".restored.npy"), restored)
 
 
 def main() -> None:
