@@ -102,17 +102,54 @@ def run_program(cli_args: list) -> None:
     outdir.mkdir(parents=True, exist_ok=True)
 
     recorder = TaskRecorder(worker=f"host{args.host_index}")
-    with recorder.step("reorder_by_uvw_tile"):
-        reorder_by_uvw_tile(
-            reader,
-            tuple(args.tile_size),
-            outdir,
-            num_time_intervals=args.num_time_intervals,
-            max_vis_per_chunk=args.max_vis_per_chunk,
-            max_workers=args.workers,
-            num_hosts=args.num_hosts,
-            host_index=args.host_index,
-        )
+    if args.num_hosts == 1:
+        with recorder.step("reorder_by_uvw_tile"):
+            reorder_by_uvw_tile(
+                reader,
+                tuple(args.tile_size),
+                outdir,
+                num_time_intervals=args.num_time_intervals,
+                max_vis_per_chunk=args.max_vis_per_chunk,
+                max_workers=args.workers,
+            )
+    else:
+        # Multi-host over a shared filesystem: pass 1, marker-file
+        # barrier, pass 2 (the reference's inter-pass barrier,
+        # reorder.py:87-90, done without a scheduler).
+        import time
+
+        from ..uvw_tiling.reorder import reorder_pass1, reorder_pass2
+
+        with recorder.step("reorder_pass1"):
+            reorder_pass1(
+                reader,
+                tuple(args.tile_size),
+                outdir,
+                num_time_intervals=args.num_time_intervals,
+                max_workers=args.workers,
+                num_hosts=args.num_hosts,
+                host_index=args.host_index,
+            )
+            (outdir / f"host{args.host_index}.pass1.done").touch()
+
+        with recorder.step("pass1_barrier"):
+            deadline = time.time() + 86400
+            while time.time() < deadline:
+                done = len(list(outdir.glob("host*.pass1.done")))
+                if done >= args.num_hosts:
+                    break
+                time.sleep(2.0)
+            else:
+                raise TimeoutError("pass-1 barrier timed out")
+
+        with recorder.step("reorder_pass2"):
+            reorder_pass2(
+                outdir,
+                max_vis_per_chunk=args.max_vis_per_chunk,
+                max_workers=args.workers,
+                num_hosts=args.num_hosts,
+                host_index=args.host_index,
+            )
     recorder.save_json("task-list.json", indent=4, sort_keys=True)
 
 

@@ -47,7 +47,48 @@ def reorder_by_uvw_tile(
     ``<= max_vis_per_chunk`` chunks and delete the inputs
     (reference: reorder.py:96-111,158-183).
 
+    For single-host runs this performs both passes. Multi-host runs
+    over a shared filesystem must call :func:`reorder_pass1` on every
+    host, barrier, then :func:`reorder_pass2` — pass 2 can only start
+    once every host's interval files exist (the reference has the same
+    barrier at reorder.py:87-90). Calling this function with
+    ``num_hosts > 1`` raises to prevent silent data loss.
+
     Returns the list of written chunk paths (this host's share).
+    """
+    if num_hosts != 1:
+        raise ValueError(
+            "Multi-host reorder requires an inter-pass barrier: call "
+            "reorder_pass1 on every host, barrier, then reorder_pass2"
+        )
+    reorder_pass1(
+        reader,
+        tile_size,
+        outdir,
+        num_time_intervals=num_time_intervals,
+        max_workers=max_workers,
+    )
+    return reorder_pass2(
+        outdir,
+        max_vis_per_chunk=max_vis_per_chunk,
+        max_workers=max_workers,
+    )
+
+
+def reorder_pass1(
+    reader: VisibilityReader,
+    tile_size: tuple,
+    outdir: Path,
+    *,
+    num_time_intervals: Optional[int] = None,
+    max_workers: Optional[int] = None,
+    num_hosts: int = 1,
+    host_index: int = 0,
+) -> list:
+    """
+    Pass 1 only: write per-(tile, interval) npz files for this host's
+    stride of time intervals. Returns the tile coordinates this host
+    touched.
     """
     if num_time_intervals is None:
         num_time_intervals = max(2 * (max_workers or os.cpu_count()), 2)
@@ -73,15 +114,50 @@ def reorder_by_uvw_tile(
             ],
         ):
             tile_coords_set.update(coords_list)
+    return sorted(tile_coords_set)
 
-        # Pass 2 barrier: all of this host's intervals are on disk.
-        # (Multi-host runs must barrier externally before pass 2 so
-        # every host sees every interval file; see parallel.mesh.)
-        my_tiles = sorted(
-            coords
-            for coords in tile_coords_set
-            if hash(coords) % num_hosts == host_index
+
+def reorder_pass2(
+    outdir: Path,
+    *,
+    max_vis_per_chunk: int = 5_000_000,
+    max_workers: Optional[int] = None,
+    num_hosts: int = 1,
+    host_index: int = 0,
+) -> list:
+    """
+    Pass 2 only: discover tile coordinates from the interval files ON
+    DISK (so every host's pass-1 output is covered regardless of which
+    host binned it), take this host's stride of tile groups, and
+    rechunk them. Must run after every host finished pass 1.
+    """
+    outdir = Path(outdir).resolve()
+    coords_set = set()
+    for path in outdir.glob("tile_iu*_interval*.npz"):
+        parts = path.name.split("_")
+        coords_set.add(
+            (
+                int(parts[1][2:]),
+                int(parts[2][2:]),
+                int(parts[3][2:]),
+            )
         )
+    # Stride on a stable value hash (not list position): hosts may
+    # observe different residual file sets while others' pass-2
+    # deletions are in flight, but a coordinate always maps to the
+    # same host.
+    def _owner(coords) -> int:
+        iu, iv, iw = coords
+        return (
+            iu * 73856093 ^ iv * 19349663 ^ iw * 83492791
+        ) % num_hosts
+
+    my_tiles = sorted(
+        coords
+        for coords in coords_set
+        if _owner(coords) == host_index
+    )
+    with ProcessPoolExecutor(max_workers=max_workers) as pool:
         output_lists = pool.map(
             _rechunk_task,
             [

@@ -89,6 +89,60 @@ def test_reorder_conserves_visibilities(dataset_path, tmp_path):
     )
 
 
+def test_multihost_reorder_striding(dataset_path, tmp_path):
+    """
+    Two hosts sharing a filesystem split intervals (pass 1) and tile
+    groups (pass 2) by stride; the union of their outputs equals a
+    single-host run's coverage (same totals).
+    """
+    from ska_sdp_cip_tpu.uvw_tiling.reorder import (
+        reorder_pass1,
+        reorder_pass2,
+    )
+
+    reader = VisibilityReader(dataset_path)
+    outdir = tmp_path / "tiles_mh"
+
+    # Pass 1 on both hosts, barrier, pass 2 on both hosts
+    for host_index in range(2):
+        reorder_pass1(
+            reader,
+            TILE_SIZE,
+            outdir,
+            num_time_intervals=4,
+            max_workers=2,
+            num_hosts=2,
+            host_index=host_index,
+        )
+    paths = []
+    for host_index in range(2):
+        paths += reorder_pass2(
+            outdir,
+            max_vis_per_chunk=MAX_VIS_PER_CHUNK,
+            max_workers=2,
+            num_hosts=2,
+            host_index=host_index,
+        )
+    total_multihost = sum(
+        Tile.load_npz(p).num_visibilities for p in paths
+    )
+
+    outdir_single = tmp_path / "tiles_single"
+    single_paths = reorder_by_uvw_tile(
+        reader,
+        TILE_SIZE,
+        outdir_single,
+        num_time_intervals=4,
+        max_vis_per_chunk=MAX_VIS_PER_CHUNK,
+        max_workers=2,
+    )
+    total_single = sum(
+        Tile.load_npz(p).num_visibilities for p in single_paths
+    )
+    assert total_multihost == total_single
+    assert {p.name for p in paths} == {p.name for p in single_paths}
+
+
 def test_tile_npz_roundtrip(tmp_path):
     tile = Tile(
         coords=(1, -2, 0),
