@@ -92,6 +92,20 @@ def get_parser() -> argparse.ArgumentParser:
         "<output>.model.npy and <output>.residual.npy",
     )
     clean_group.add_argument(
+        "--algorithm",
+        choices=["hogbom", "multiscale", "fista"],
+        default="hogbom",
+        help="Deconvolution algorithm for --clean (single-device runs; "
+        "distributed -d runs use hogbom)",
+    )
+    clean_group.add_argument(
+        "--scales",
+        type=float,
+        nargs="+",
+        default=[0.0, 2.0, 4.0, 8.0],
+        help="Scale sizes in pixels (with --algorithm multiscale)",
+    )
+    clean_group.add_argument(
         "--gain",
         type=float,
         default=0.1,
@@ -237,6 +251,25 @@ def run_program(cli_args: list[str]) -> None:
                 num_major=args.clean,
                 gain=args.gain,
                 minor_iter=args.minor_iter,
+            )
+        elif args.algorithm == "multiscale":
+            from ..models.multiscale import multiscale_clean
+
+            model, residual = multiscale_clean(
+                operator,
+                gridder_input.visibilities.ravel(),
+                scales=tuple(args.scales),
+                num_major=args.clean,
+                gain=args.gain,
+                minor_iter=args.minor_iter,
+            )
+        elif args.algorithm == "fista":
+            from ..models.fista import fista_clean
+
+            model, residual, _ = fista_clean(
+                operator,
+                gridder_input.visibilities.ravel(),
+                num_iter=args.clean * args.minor_iter // 10,
             )
         else:
             model, residual = major_cycle_clean(

@@ -72,3 +72,30 @@ def test_cli_writes_restored(dataset_path, tmp_path, monkeypatch):
     restored = np.load(tmp_path / "img.restored.npy")
     assert restored.shape == (96, 96)
     assert np.isfinite(restored).all()
+
+
+def test_cli_algorithm_variants(dataset_path, tmp_path, monkeypatch):
+    from ska_sdp_cip_tpu.apps.pipeline_app import run_program
+
+    monkeypatch.chdir(tmp_path)
+    for algorithm in ("multiscale", "fista"):
+        out = tmp_path / f"img_{algorithm}.npy"
+        run_program(
+            [
+                str(dataset_path),
+                str(out),
+                "-n",
+                "96",
+                "-p",
+                "40.0",
+                "--clean",
+                "1",
+                "--minor-iter",
+                "20",
+                "--algorithm",
+                algorithm,
+            ]
+        )
+        model = np.load(tmp_path / f"img_{algorithm}.model.npy")
+        assert model.shape == (96, 96)
+        assert np.isfinite(model).all()
