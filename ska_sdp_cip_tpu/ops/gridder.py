@@ -40,7 +40,7 @@ import numpy as np
 from jax import lax
 
 from .fft import fft2_split, make_fft_plan
-from .kernels import correction_np, es_kernel_jnp
+from .kernels import es_kernel_jnp
 from .plan import GridderPlan, make_plan
 
 SPEED_OF_LIGHT = 299792458.0
@@ -80,32 +80,52 @@ def split_complex(vis) -> tuple:
     )
 
 
-def plan_device_arrays_host(plan: GridderPlan) -> dict:
+def compute_geometry_maps(plan: GridderPlan) -> dict:
     """
-    Host (numpy) arrays of a plan — the non-static part of the gridding
-    program's input, including precomputed image-domain maps
-    (``inv_corr``: fused uv-taper x w-taper x 1/n correction; ``nm1s``:
-    n(l,m) - 1 - n_mid, the w-screen argument) and the matmul-FFT
-    factors for the padded grid size. Used directly by the multi-host
-    staging path; see :func:`plan_device_arrays` for the device form.
+    Image-domain geometry maps, computed ON DEVICE (jit): ``inv_corr``
+    (fused uv-taper x w-taper x 1/n correction) and ``nm1s``
+    (n(l,m) - 1 - n_mid, the w-screen argument). These are O(npix^2)
+    transcendental maps — trivial on the TPU, but a quadrature in host
+    numpy takes minutes at production sizes (round-1 bench spent 266 s
+    here), so they are never materialized on the host.
     """
     npix, ngrid = plan.num_pixels, plan.ngrid
+    nodes = jnp.asarray(plan.quad_nodes, jnp.float32)
+    folded = jnp.asarray(plan.quad_folded, jnp.float32)
+    support = plan.support
 
-    # 1-D uv correction, host float64 for accuracy
-    k = (np.arange(npix) - npix // 2) / ngrid
-    cuv = correction_np(k, plan.support, plan.beta)
-    corr = np.multiply.outer(cuv, cuv)
-
-    axis = (np.arange(npix) - npix // 2) * plan.pixel_size_lm
-    r2 = np.add.outer(axis**2, axis**2)
-    nm1 = -r2 / (1.0 + np.sqrt(np.maximum(1.0 - r2, 0.0)))
-    if plan.wstacking:
-        cw = correction_np(
-            plan.dw * (nm1 - plan.n_mid), plan.support, plan.beta
+    def correction(k):
+        angles = (
+            (2.0 * np.pi * (support / 2.0)) * k[..., None] * nodes
         )
-        corr = corr * cw * (nm1 + 1.0)
-    inv_corr = 1.0 / corr
+        return support * jnp.sum(jnp.cos(angles) * folded, axis=-1)
 
+    @jax.jit
+    def build():
+        pix = jnp.arange(npix, dtype=jnp.float32) - npix // 2
+        cuv = correction(pix / ngrid)
+        corr = jnp.outer(cuv, cuv)
+        axis = pix * plan.pixel_size_lm
+        r2 = axis[:, None] ** 2 + axis[None, :] ** 2
+        nm1 = -r2 / (1.0 + jnp.sqrt(jnp.maximum(1.0 - r2, 0.0)))
+        if plan.wstacking:
+            cw = correction(plan.dw * (nm1 - plan.n_mid))
+            corr = corr * cw * (nm1 + 1.0)
+        return {
+            "inv_corr": 1.0 / corr,
+            "nm1s": nm1 - plan.n_mid,
+        }
+
+    return build()
+
+
+def plan_host_arrays(plan: GridderPlan) -> dict:
+    """
+    Host (numpy) arrays of a plan — the per-visibility/per-block part
+    of the gridding program's input plus the matmul-FFT factors for the
+    padded grid size. Cheap (no O(npix^2) work); the image-domain maps
+    are device-computed by :func:`compute_geometry_maps`.
+    """
     arrays = {
         "order": plan.order,
         "flip_sign": np.where(plan.flip, -1.0, 1.0).astype(np.float32),
@@ -127,15 +147,13 @@ def plan_device_arrays_host(plan: GridderPlan) -> dict:
             plan.active_table >= 0, axis=1
         ).astype(np.int32),
         "plane_w": plan.plane_w,
-        "inv_corr": inv_corr.astype(np.float32),
-        "nm1s": (nm1 - plan.n_mid).astype(np.float32),
     }
     from .pallas_gridder import pack_plan_columns
 
     arrays["packed"] = pack_plan_columns(plan)
     # Shifted factors: fftshift/ifftshift ride inside the DFT
     # matrices instead of costing full-array roll passes.
-    fft_plan = make_fft_plan(ngrid, shifted=True)
+    fft_plan = make_fft_plan(plan.ngrid, shifted=True)
     arrays.update(
         {
             "fft_d1_cos": fft_plan.d1_cos,
@@ -150,11 +168,32 @@ def plan_device_arrays_host(plan: GridderPlan) -> dict:
 
 
 def plan_device_arrays(plan: GridderPlan) -> dict:
-    """Device-resident form of :func:`plan_device_arrays_host`."""
-    return {
+    """
+    Device-resident gridding-program inputs: host-staged per-vis/block
+    arrays plus device-computed geometry maps.
+    """
+    arrays = {
         key: jnp.asarray(value)
-        for key, value in plan_device_arrays_host(plan).items()
+        for key, value in plan_host_arrays(plan).items()
     }
+    arrays.update(compute_geometry_maps(plan))
+    return arrays
+
+
+def plan_device_arrays_host(plan: GridderPlan) -> dict:
+    """
+    Backwards-compatible full host dict (includes geometry maps pulled
+    back from device). Prefer :func:`plan_host_arrays` +
+    :func:`compute_geometry_maps`.
+    """
+    arrays = plan_host_arrays(plan)
+    arrays.update(
+        {
+            key: np.asarray(value)
+            for key, value in compute_geometry_maps(plan).items()
+        }
+    )
+    return arrays
 
 
 def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_re, vis_im):

@@ -22,7 +22,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..invert import StokesIGridderInput, pixel_size_lm_from_asec
 from ..io.visibility_dataset import VisibilityReader
-from ..ops.gridder import build_invert, plan_device_arrays_host
+from ..ops.gridder import (
+    build_invert,
+    compute_geometry_maps,
+    plan_host_arrays,
+)
 from ..ops.plan import make_plan, pad_plans_uniform
 from .mesh import make_device_mesh
 
@@ -184,7 +188,14 @@ def stage_sharded_inputs(
                 lambda idx: stacked_np[idx],
             )
 
-        host_arrays = [plan_device_arrays_host(plan) for plan in plans]
+        host_arrays = [plan_host_arrays(plan) for plan in plans]
+        # Geometry maps are computed on device (host quadrature is
+        # pathologically slow at production sizes) and pulled back once
+        # so they can be re-placed as mesh-replicated globals.
+        geometry = {
+            key: np.asarray(value)
+            for key, value in compute_geometry_maps(plans[0]).items()
+        }
         stacked = {}
         for key in host_arrays[0]:
             if _is_replicated(key):
@@ -194,6 +205,8 @@ def stage_sharded_inputs(
                     np.stack([arrays[key] for arrays in host_arrays]),
                     True,
                 )
+        for key, value in geometry.items():
+            stacked[key] = _global(value, False)
 
         num_vis = plans[0].num_vis
         # Split (re, im) float32: the TPU compute path is complex-free.
