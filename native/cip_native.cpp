@@ -121,9 +121,11 @@ void cip_plan_arrays(const double* uvw, int64_t nrow, const double* freqs,
                 fx[i] = (float)(x - (double)cx);
                 fy[i] = (float)(y - (double)cy);
 
+                // Floor binning: data bin q = floor((w - wmin)/dw);
+                // the gridder maps bin q to plane window [q, q + W).
                 int64_t bin = 0;
                 if (wstacking) {
-                    bin = (int64_t)std::floor((w - w0_plane) * inv_dw + 0.5);
+                    bin = (int64_t)std::floor((w - w0_plane) * inv_dw);
                     bin = std::max<int64_t>(0,
                           std::min<int64_t>(bin, nplanes - 1));
                 }

@@ -159,13 +159,29 @@ def _factors(f, prefix, sign):
     return d1_cos, d1_sin, d2_cos, d2_sin, tw_cos, tw_sin, float(sign)
 
 
-def fft_last_axis(re, im, f, *, sign: int, prefix: str = "fft"):
+def fft_last_axis(
+    re,
+    im,
+    f,
+    *,
+    sign: int,
+    prefix: str = "fft",
+    in_crop: tuple | None = None,
+    out_crop: tuple | None = None,
+):
     """
     DFT along the last axis of (..., n) split arrays. ``sign=-1`` is
     the forward (numpy fft) transform, ``sign=+1`` the unnormalized
     inverse (scale by 1/n yourself if needed). ``f`` is the dict from
     :func:`fft_plan_arrays`. The four-step output reorder rides inside
     the stage-2 einsum (no explicit transpose pass).
+
+    ``in_crop=(start, size)``: the inputs hold only logical columns
+    ``[start, start + size)`` (rest zero) — stage 1 is pruned to the
+    covering j1 rows. ``out_crop=(start, size)``: only those output
+    columns are computed — stage 2 is pruned to the covering k2 range.
+    Both prune roughly half the FFT cost for the gridder's 2x-padded
+    grids (invert crops to the image; predict pads from it).
     """
     d1_cos, d1_sin, d2_cos, d2_sin, tw_cos, tw_sin, s = _factors(
         f, prefix, sign
@@ -175,8 +191,29 @@ def fft_last_axis(re, im, f, *, sign: int, prefix: str = "fft"):
     precision = _precision()
 
     batch = re.shape[:-1]
-    xr = re.reshape((-1, n1, n2))
-    xi = im.reshape((-1, n1, n2))
+    if in_crop is not None:
+        c0, size = in_crop
+        j1a, j1b = c0 // n2, -(-(c0 + size) // n2)
+        width = (j1b - j1a) * n2
+        pad_lo = c0 - j1a * n2
+        shape = batch + (width,)
+        xr = (
+            jnp.zeros(shape, re.dtype)
+            .at[..., pad_lo : pad_lo + size]
+            .set(re)
+            .reshape((-1, j1b - j1a, n2))
+        )
+        xi = (
+            jnp.zeros(shape, im.dtype)
+            .at[..., pad_lo : pad_lo + size]
+            .set(im)
+            .reshape((-1, j1b - j1a, n2))
+        )
+        d1_cos = d1_cos[:, j1a:j1b]
+        d1_sin = d1_sin[:, j1a:j1b]
+    else:
+        xr = re.reshape((-1, n1, n2))
+        xi = im.reshape((-1, n1, n2))
 
     # Stage 1: Y[b, k1, n2] = sum_{j1} D1[k1, j1] x[b, j1, n2]
     def stage1(x):
@@ -196,6 +233,17 @@ def fft_last_axis(re, im, f, *, sign: int, prefix: str = "fft"):
     zr = yr * tr - yi * ti
     zi = yr * ti + yi * tr
 
+    if out_crop is not None:
+        c0, size = out_crop
+        k2a, k2b = c0 // n1, -(-(c0 + size) // n1)
+        d2_cos = d2_cos[:, k2a:k2b]
+        d2_sin = d2_sin[:, k2a:k2b]
+        trim = (c0 - k2a * n1, size)
+        n_out = (k2b - k2a) * n1
+    else:
+        trim = None
+        n_out = n
+
     # Stage 2 with fused reorder: out[b, k2, k1] = sum_n z[b, k1, n]
     # D2[n, k2]; flattening (k2, k1) row-major yields index
     # k1 + n1 * k2 = k.
@@ -209,17 +257,29 @@ def fft_last_axis(re, im, f, *, sign: int, prefix: str = "fft"):
     ci_z, si_z = stage2(zi)
     outr = cr_z - s * si_z
     outi = ci_z + s * sr_z
-    return (
-        outr.reshape(batch + (n,)),
-        outi.reshape(batch + (n,)),
-    )
+    outr = outr.reshape(batch + (n_out,))
+    outi = outi.reshape(batch + (n_out,))
+    if trim is not None:
+        outr = outr[..., trim[0] : trim[0] + trim[1]]
+        outi = outi[..., trim[0] : trim[0] + trim[1]]
+    return outr, outi
 
 
-def fft_first_axis(re, im, f, *, sign: int, prefix: str = "fft"):
+def fft_first_axis(
+    re,
+    im,
+    f,
+    *,
+    sign: int,
+    prefix: str = "fft",
+    in_crop: tuple | None = None,
+    out_crop: tuple | None = None,
+):
     """
     DFT along the FIRST axis of (n, m) split arrays, transpose-free:
     both four-step stages contract the leading axis via einsum and the
-    output reorder is fused into stage 2.
+    output reorder is fused into stage 2. ``in_crop``/``out_crop`` as
+    in :func:`fft_last_axis`, applied to the first axis.
     """
     d1_cos, d1_sin, d2_cos, d2_sin, tw_cos, tw_sin, s = _factors(
         f, prefix, sign
@@ -229,8 +289,28 @@ def fft_first_axis(re, im, f, *, sign: int, prefix: str = "fft"):
     m = re.shape[-1]
     precision = _precision()
 
-    xr = re.reshape((n1, n2, m))
-    xi = im.reshape((n1, n2, m))
+    if in_crop is not None:
+        c0, size = in_crop
+        j1a, j1b = c0 // n2, -(-(c0 + size) // n2)
+        width = (j1b - j1a) * n2
+        pad_lo = c0 - j1a * n2
+        xr = (
+            jnp.zeros((width, m), re.dtype)
+            .at[pad_lo : pad_lo + size, :]
+            .set(re)
+            .reshape((j1b - j1a, n2, m))
+        )
+        xi = (
+            jnp.zeros((width, m), im.dtype)
+            .at[pad_lo : pad_lo + size, :]
+            .set(im)
+            .reshape((j1b - j1a, n2, m))
+        )
+        d1_cos = d1_cos[:, j1a:j1b]
+        d1_sin = d1_sin[:, j1a:j1b]
+    else:
+        xr = re.reshape((n1, n2, m))
+        xi = im.reshape((n1, n2, m))
 
     # Stage 1: Y[k1, n2, m] = sum_{j1} D1[k1, j1] x[j1, n2, m]
     def stage1(x):
@@ -249,6 +329,17 @@ def fft_first_axis(re, im, f, *, sign: int, prefix: str = "fft"):
     zr = yr * tr - yi * ti
     zi = yr * ti + yi * tr
 
+    if out_crop is not None:
+        c0, size = out_crop
+        k2a, k2b = c0 // n1, -(-(c0 + size) // n1)
+        d2_cos = d2_cos[:, k2a:k2b]
+        d2_sin = d2_sin[:, k2a:k2b]
+        trim = (c0 - k2a * n1, size)
+        n_out = (k2b - k2a) * n1
+    else:
+        trim = None
+        n_out = n
+
     # Stage 2 with fused reorder: out[k2, k1, m] = sum_n z[k1, n, m]
     # D2[n, k2]; flattening (k2, k1) row-major yields index k.
     def stage2(z):
@@ -261,7 +352,12 @@ def fft_first_axis(re, im, f, *, sign: int, prefix: str = "fft"):
     ci_z, si_z = stage2(zi)
     outr = cr_z - s * si_z
     outi = ci_z + s * sr_z
-    return outr.reshape((n, m)), outi.reshape((n, m))
+    outr = outr.reshape((n_out, m))
+    outi = outi.reshape((n_out, m))
+    if trim is not None:
+        outr = outr[trim[0] : trim[0] + trim[1], :]
+        outi = outi[trim[0] : trim[0] + trim[1], :]
+    return outr, outi
 
 
 def fft2_split(re, im, f, *, sign: int, prefix: str = "fft"):

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .fft import fft2_split, make_fft_plan
+from .fft import fft_first_axis, fft_last_axis, make_fft_plan
 from .kernels import es_kernel_jnp
 from .plan import GridderPlan, make_plan
 
@@ -147,6 +147,13 @@ def plan_host_arrays(plan: GridderPlan) -> dict:
             plan.active_table >= 0, axis=1
         ).astype(np.int32),
         "plane_w": plan.plane_w,
+        # Strip-kernel step program (ops/plan.py:build_step_tables)
+        "step_val": plan.step_val,
+        "step_aux": plan.step_aux,
+        "step_aux2": plan.step_aux2,
+        "step_count": plan.step_count,
+        "first_block": plan.first_block,
+        "last_blocks": plan.last_blocks,
     }
     from .pallas_gridder import pack_plan_columns
 
@@ -255,6 +262,35 @@ def _group_kernel_matrices(plan: GridderPlan, arrays: dict, bs):
     return ax, ay, s, lane, ws, ox, oy
 
 
+def _fft2_to_image(arrays, grid_re, grid_im, crop0, npix):
+    """
+    Centred inverse 2-D DFT of the (N, N) uv grid, pruned to the
+    (npix, npix) image crop: both passes skip the stage-2 work outside
+    the covering output range (~half the FFT cost at 2x padding).
+    """
+    re1, im1 = fft_last_axis(
+        grid_re, grid_im, arrays, sign=+1, out_crop=(crop0, npix)
+    )
+    return fft_first_axis(
+        re1, im1, arrays, sign=+1, out_crop=(crop0, npix)
+    )
+
+
+def _fft2_from_image(arrays, img_re, img_im, crop0, ngrid):
+    """
+    Adjoint of :func:`_fft2_to_image`: centred forward DFT of an
+    (npix, npix) image placed at the grid centre, pruned on the input
+    side (zero rows/columns outside the crop never enter stage 1).
+    """
+    npix = img_re.shape[-1]
+    re1, im1 = fft_last_axis(
+        img_re, img_im, arrays, sign=-1, in_crop=(crop0, npix)
+    )
+    return fft_first_axis(
+        re1, im1, arrays, sign=-1, in_crop=(crop0, npix)
+    )
+
+
 def _fold_wraps(plan: GridderPlan, grid):
     """Fold the padded alloc frame back onto the periodic N x N grid."""
     N, W = plan.ngrid, plan.support
@@ -330,27 +366,20 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
             def plane_body(image_accum, p):
                 w_p = arrays["plane_w"][p]
                 grid_re, grid_im = grid_plane(
-                    arrays["active_table"][p],
-                    arrays["block_start"],
-                    arrays["block_len"],
-                    arrays["block_ox"],
+                    arrays["step_val"][p],
+                    arrays["step_aux"][p],
+                    arrays["first_block"][p][None],
                     arrays["block_oy"],
-                    arrays["active_count"][p][None],
+                    arrays["step_count"][p][None],
                     arrays["packed"],
                     vis_split,
                     w_p,
                 )
                 grid_re = _fold_wraps(plan, grid_re)
                 grid_im = _fold_wraps(plan, grid_im)
-                img_re, img_im = fft2_split(
-                    grid_re, grid_im, arrays, sign=+1
+                img_re, img_im = _fft2_to_image(
+                    arrays, grid_re, grid_im, crop0, npix
                 )
-                img_re = img_re[
-                    crop0 : crop0 + npix, crop0 : crop0 + npix
-                ]
-                img_im = img_im[
-                    crop0 : crop0 + npix, crop0 : crop0 + npix
-                ]
                 if plan.wstacking:
                     theta = (-2.0 * np.pi * w_p) * arrays["nm1s"]
                     contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(
@@ -444,9 +473,9 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
             grid_re = _fold_wraps(plan, grid_re)
             grid_im = _fold_wraps(plan, grid_im)
             # N^2 * ifft2 == unnormalized inverse DFT (sign=+1)
-            img_re, img_im = fft2_split(grid_re, grid_im, arrays, sign=+1)
-            img_re = img_re[crop0 : crop0 + npix, crop0 : crop0 + npix]
-            img_im = img_im[crop0 : crop0 + npix, crop0 : crop0 + npix]
+            img_re, img_im = _fft2_to_image(
+                arrays, grid_re, grid_im, crop0, npix
+            )
             if plan.wstacking:
                 theta = (-2.0 * np.pi * w_p) * arrays["nm1s"]
                 # Only the real part survives the plane sum
@@ -501,11 +530,9 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
             img_re = img0
             img_im = jnp.zeros_like(img0)
 
-        pad_re = jnp.zeros((N, N), jnp.float32)
-        pad_im = jnp.zeros((N, N), jnp.float32)
-        pad_re = lax.dynamic_update_slice(pad_re, img_re, (crop0, crop0))
-        pad_im = lax.dynamic_update_slice(pad_im, img_im, (crop0, crop0))
-        grid_re, grid_im = fft2_split(pad_re, pad_im, arrays, sign=-1)
+        grid_re, grid_im = _fft2_from_image(
+            arrays, img_re, img_im, crop0, N
+        )
         return _unfold_wraps(plan, grid_re), _unfold_wraps(plan, grid_im)
 
     def _finalize(arrays, acc_re, acc_im):
@@ -542,12 +569,13 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
                 w_p = arrays["plane_w"][p]
                 alloc_re, alloc_im = _screened_alloc(arrays, img0, w_p)
                 contrib = degrid_plane(
-                    arrays["active_table"][p],
-                    arrays["block_start"],
-                    arrays["block_len"],
-                    arrays["block_ox"],
+                    arrays["step_val"][p],
+                    arrays["step_aux"][p],
+                    arrays["step_aux2"][p],
+                    arrays["first_block"][p][None],
+                    arrays["last_blocks"][p],
                     arrays["block_oy"],
-                    arrays["active_count"][p][None],
+                    arrays["step_count"][p][None],
                     arrays["packed"],
                     alloc_re,
                     alloc_im,

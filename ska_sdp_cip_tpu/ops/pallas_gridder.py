@@ -1,27 +1,42 @@
 """
-Pallas TPU gridding kernel.
+Pallas TPU gridding kernels (strip-resident, write-once).
 
-The XLA gridder (ops/gridder.py) threads the full padded uv grid
-through a scan as a carry; XLA's handling of that carry (copies around
-control flow) caps throughput. This kernel takes explicit control:
+Round-1's kernel accumulated each visibility block into a VMEM patch
+and flushed it to the HBM uv-plane with a read-modify-write DMA on
+every (tile, plane) visit — ~7 GB of HBM round trips per invert on the
+bench workload, comparable to the MXU time itself. This version keeps
+a *strip* of the plane resident in VMEM instead and writes every grid
+row exactly once:
 
-* the plane's uv grid lives in HBM (aliased in/out operand);
-* each sequential grid step processes one visibility block: its packed
-  per-visibility data is DMA'd HBM -> VMEM double-buffered, kernel
-  matrices are built on the VPU, and the patch contribution is one
-  (P, B) x (P, B)^T MXU contraction accumulated into a VMEM patch;
-* blocks are sorted by uv tile (the plan guarantees each (plane, tile)
-  is one contiguous visit), so the patch is flushed to HBM with a
-  read-modify-write DMA only when the tile changes — dense central
-  tiles amortize one 2x64KB flush over many blocks.
+* the plan orders each plane's blocks by x-strip (strip s = tile
+  column s, rows ``[s*tile_x, s*tile_x + patch_x)``), with an explicit
+  sentinel step after each strip;
+* block steps DMA their packed data HBM -> VMEM (double-buffered) and
+  accumulate one ``(patch_x, B) x (patch_y, B)^T`` MXU contraction
+  directly into the resident strip at the block's lane origin — the
+  row origin is always 0 because a strip is exactly one tile column;
+* a sentinel writes the strip's ``tile_x`` owned rows to HBM
+  (write-only — no read-modify-write), rolls the ``patch_x - tile_x``
+  carry rows into the second strip buffer, and zeroes the rest. The
+  carry is tiny (8 rows for support 6) because patches only overhang
+  one tile column by ``patch_x - tile_x`` rows.
+
+Blocks are (tile, w-bin)-pure and the plan's floor binning gives each
+block a window of exactly ``support`` planes, so the per-plane step
+programs contain no wasted block visits. All step scheduling (DMA
+prefetch targets, buffer parities, drain bookkeeping) is precomputed
+on the host into the plan's step tables (ops/plan.py:build_step_tables)
+and read from SMEM — the kernel itself is branch-light straight-line
+code.
 
 Data layouts are lane-major: per-visibility columns are stored
 (8, num_vis) so HBM slices are (8, B) with the sliced axis a multiple
-of the 128-lane tile (Mosaic requires slice shapes aligned to the
-tiling). Scalar block metadata rides in SMEM via
-PrefetchScalarGridSpec. Accuracy is identical to the XLA path (same
-kernel math, f32); tests assert elementwise agreement in interpret
-mode.
+of the 128-lane tile. Accuracy is identical to the XLA path (same
+kernel math, f32 with bf16x3 contractions); tests assert elementwise
+agreement in interpret mode.
+
+This replaces the C++ ducc0 wgridder's gridding loop
+(reference: src/ska_sdp_cip/invert.py:170-183).
 """
 
 from __future__ import annotations
@@ -36,19 +51,29 @@ from jax.experimental.pallas import tpu as pltpu
 from .kernels import es_kernel_jnp
 from .plan import GridderPlan
 
-#: Packed per-visibility rows: fx, fy, ws, x0 (bitcast), y0 (bitcast)
+#: Packed per-visibility rows: xpos, ypos, ws, block_len (broadcast)
 PACK_COLS = 8
 
 
 def pack_plan_columns(plan: GridderPlan) -> np.ndarray:
-    """(8, num_vis) f32 packed per-visibility plan data (one DMA/block)."""
+    """
+    (8, num_vis) f32 packed per-visibility plan data (one DMA/block).
+    Positions are stored patch-relative (coordinate minus the block's
+    patch origin) so kernel arguments keep full float32 precision on
+    arbitrarily large grids; the block length rides along as a
+    broadcast row so the kernel's lane mask needs no SMEM lookup.
+    """
     num = plan.num_vis
+    slot_block = np.arange(num) // plan.block
     packed = np.zeros((PACK_COLS, num), np.float32)
-    packed[0] = plan.fx
-    packed[1] = plan.fy
+    packed[0] = (
+        plan.x0 - plan.block_ox[slot_block]
+    ).astype(np.float32) + plan.fx
+    packed[1] = (
+        plan.y0 - plan.block_oy[slot_block]
+    ).astype(np.float32) + plan.fy
     packed[2] = plan.ws
-    packed[3] = plan.x0.view(np.float32)
-    packed[4] = plan.y0.view(np.float32)
+    packed[3] = plan.block_len[slot_block].astype(np.float32)
     return packed
 
 
@@ -72,487 +97,361 @@ def _dot3_bf16(lhs, rhs, contract):
     return dot(lhs_hi, rhs_hi) + dot(lhs_hi, rhs_lo) + dot(lhs_lo, rhs_hi)
 
 
-def _grid_plane_kernel_factory(plan: GridderPlan):
+def _decode_step(step_val, step_aux, j):
+    """Shared step decode: (value, prefetch block, strip buf, parity)."""
+    v = step_val[j]
+    aux = step_aux[j]
+    pref = (aux >> 2) - 1
+    sbuf = (aux >> 1) & 1
+    par = aux & 1
+    return v, pref, sbuf, par
+
+
+def _kernel_factors(plan: GridderPlan, pack, wp_ref, wstacking):
+    """VPU build of the separable kernel matrices for one block."""
+    PX, PY, B, W = plan.patch_x, plan.patch_y, plan.block, plan.support
+    xpos = pack[0:1, :]
+    ypos = pack[1:2, :]
+    ws = pack[2:3, :]
+    lenf = pack[3:4, :]
+    inv_half = jnp.float32(2.0 / W)
+    iota_x = lax.broadcasted_iota(jnp.int32, (PX, B), 0).astype(
+        jnp.float32
+    )
+    iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0).astype(
+        jnp.float32
+    )
+    ax = es_kernel_jnp((iota_x - xpos) * inv_half, plan.beta)
+    ay = es_kernel_jnp((iota_y - ypos) * inv_half, plan.beta)
+    lane = (
+        lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
+        < lenf
+    )
+    if wstacking:
+        inv_whalf = 2.0 / (W * plan.dw)
+        kw = es_kernel_jnp((wp_ref[0, 0] - ws) * inv_whalf, plan.beta)
+    else:
+        kw = jnp.ones_like(ws)
+    amp = jnp.where(lane, kw, 0.0)
+    return ax, ay, amp
+
+
+def _grid_strip_kernel_factory(plan: GridderPlan):
     PX, PY = plan.patch_x, plan.patch_y
-    B, W = plan.block, plan.support
-    beta = plan.beta
-    inv_whalf = 2.0 / (W * plan.dw)
+    B = plan.block
+    SX = plan.tile_x
+    CARRY = PX - SX
+    NS = plan.num_strips
+    NY = plan.nalloc_y
     wstacking = plan.wstacking
 
     def kernel(
         # scalar prefetch
-        active_row,
-        block_start,
-        block_len,
-        block_ox,
-        block_oy,
-        active_count,
+        step_val,
+        step_aux,
+        first_blk,
+        blk_oy,
+        count,
         # inputs
         packed_hbm,
         vis_hbm,
         wp_ref,
-        alloc_re_in,
-        alloc_im_in,
-        # outputs (aliased to alloc inputs)
-        alloc_re,
-        alloc_im,
+        # outputs
+        out_re,
+        out_im,
         # scratch
+        strip_re,
+        strip_im,
         pack_buf,
         vis_buf,
-        patch_re,
-        patch_im,
-        tmp_re,
-        tmp_im,
-        prev,
-        dma_sems,
-        flush_sems,
+        in_sems,
+        out_sems,
     ):
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
-        count = active_count[0]
+        j = pl.program_id(0)
+        cnt = count[0]
 
-        def block_meta(slot):
-            b = jnp.maximum(active_row[jnp.minimum(slot, n - 1)], 0)
-            # Alignment facts for Mosaic: slots are block-aligned
-            # (start == b * B), patch origins are tile-aligned
-            # (tile_x multiple of 8, tile_y multiple of 128).
-            start = pl.multiple_of(b * B, B)
-            ox = pl.multiple_of(block_ox[b], 8)
-            oy = pl.multiple_of(block_oy[b], 128)
-            return start, block_len[b], ox, oy
-
-        def vis_dma(slot, buf):
-            s, _, _, _ = block_meta(slot)
+        def in_copies(b, par):
+            s = pl.multiple_of(b * B, B)
             return (
                 pltpu.make_async_copy(
                     packed_hbm.at[:, pl.ds(s, B)],
-                    pack_buf.at[buf],
-                    dma_sems.at[buf, 0],
+                    pack_buf.at[par],
+                    in_sems.at[par, 0],
                 ),
                 pltpu.make_async_copy(
                     vis_hbm.at[:, pl.ds(s, B)],
-                    vis_buf.at[buf],
-                    dma_sems.at[buf, 1],
+                    vis_buf.at[par],
+                    in_sems.at[par, 1],
                 ),
             )
 
-        s_i, len_i, ox_i, oy_i = block_meta(i)
-
-        @pl.when(i == 0)
+        @pl.when(j == 0)
         def _():
-            @pl.when(count > 0)
+            strip_re[0] = jnp.zeros((PX, NY), jnp.float32)
+            strip_im[0] = jnp.zeros((PX, NY), jnp.float32)
+
+            @pl.when(first_blk[0] >= 0)
             def _():
-                for dma in vis_dma(0, 0):
-                    dma.start()
+                for copy in in_copies(jnp.maximum(first_blk[0], 0), 0):
+                    copy.start()
 
-            patch_re[:] = jnp.zeros((PX, PY), jnp.float32)
-            patch_im[:] = jnp.zeros((PX, PY), jnp.float32)
-            prev[0] = ox_i
-            prev[1] = oy_i
+        v, pref, sbuf, par = _decode_step(step_val, step_aux, j)
+        active = j < cnt
 
-        # Inactive tail steps (i >= count) skip their DMAs entirely.
-        @pl.when(i + 1 < count)
+        @pl.when(active & (pref >= 0))
         def _():
-            for dma in vis_dma(i + 1, (i + 1) % 2):
-                dma.start()
+            for copy in in_copies(jnp.maximum(pref, 0), 1 - par):
+                copy.start()
 
-        # Flush the accumulated patch when the tile changes
-        changed = jnp.logical_or(ox_i != prev[0], oy_i != prev[1])
-
-        def flush(ox, oy):
-            # Re-state alignment facts (origins may come back from the
-            # SMEM carry, where Mosaic loses track of divisibility).
-            ox = pl.multiple_of(ox, 8)
-            oy = pl.multiple_of(oy, 128)
-            read_re = pltpu.make_async_copy(
-                alloc_re.at[pl.ds(ox, PX), pl.ds(oy, PY)],
-                tmp_re,
-                flush_sems.at[0],
-            )
-            read_im = pltpu.make_async_copy(
-                alloc_im.at[pl.ds(ox, PX), pl.ds(oy, PY)],
-                tmp_im,
-                flush_sems.at[1],
-            )
-            read_re.start()
-            read_im.start()
-            read_re.wait()
-            read_im.wait()
-            tmp_re[:] = tmp_re[:] + patch_re[:]
-            tmp_im[:] = tmp_im[:] + patch_im[:]
-            write_re = pltpu.make_async_copy(
-                tmp_re,
-                alloc_re.at[pl.ds(ox, PX), pl.ds(oy, PY)],
-                flush_sems.at[0],
-            )
-            write_im = pltpu.make_async_copy(
-                tmp_im,
-                alloc_im.at[pl.ds(ox, PX), pl.ds(oy, PY)],
-                flush_sems.at[1],
-            )
-            write_re.start()
-            write_im.start()
-            write_re.wait()
-            write_im.wait()
-            patch_re[:] = jnp.zeros((PX, PY), jnp.float32)
-            patch_im[:] = jnp.zeros((PX, PY), jnp.float32)
-
-        @pl.when(jnp.logical_and(i > 0, changed))
+        @pl.when(active & (v >= 0))
         def _():
-            flush(prev[0], prev[1])
-            prev[0] = ox_i
-            prev[1] = oy_i
-
-        @pl.when(i < count)
-        def _():
-            for dma in vis_dma(i, i % 2):
-                dma.wait()
-
-        @pl.when(i < count)
-        def _():
-            buf = i % 2
-            data = pack_buf[buf]  # (PACK_COLS, B)
-            fx = data[0:1, :]
-            fy = data[1:2, :]
-            ws = data[2:3, :]
-            x0 = lax.bitcast_convert_type(data[3:4, :], jnp.int32)
-            y0 = lax.bitcast_convert_type(data[4:5, :], jnp.int32)
-            vre = vis_buf[buf][0:1, :]
-            vim = vis_buf[buf][1:2, :]
-
-            iota_x = lax.broadcasted_iota(jnp.int32, (PX, B), 0)
-            iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0)
-            rx = iota_x - (x0 - ox_i)
-            ry = iota_y - (y0 - oy_i)
-            inv_half = jnp.float32(2.0 / W)
-            ax = es_kernel_jnp(
-                (rx.astype(jnp.float32) - fx) * inv_half, beta
+            b = jnp.maximum(v, 0)
+            for copy in in_copies(b, par):
+                copy.wait()
+            ax, ay, amp = _kernel_factors(
+                plan, pack_buf[par], wp_ref, wstacking
             )
-            ay = es_kernel_jnp(
-                (ry.astype(jnp.float32) - fy) * inv_half, beta
-            )
-
-            lane = lax.broadcasted_iota(jnp.int32, (1, B), 1) < len_i
-            if wstacking:
-                kw = es_kernel_jnp(
-                    (wp_ref[0, 0] - ws) * inv_whalf, beta
-                )
-            else:
-                kw = jnp.ones_like(ws)
-            amp = jnp.where(lane, kw, 0.0)
-
-            # patch[p, q] += sum_b ax[p, b] * val[b] * ay[q, b]
+            vre = vis_buf[par][0:1, :]
+            vim = vis_buf[par][1:2, :]
             contract = (((1,), (1,)), ((), ()))
-            patch_re[:] = patch_re[:] + _dot3_bf16(
-                ax * (vre * amp), ay, contract
+            patch_re = _dot3_bf16(ax * (vre * amp), ay, contract)
+            patch_im = _dot3_bf16(ax * (vim * amp), ay, contract)
+            oy = pl.multiple_of(blk_oy[b], 128)
+            strip_re[sbuf, :, pl.ds(oy, PY)] = (
+                strip_re[sbuf, :, pl.ds(oy, PY)] + patch_re
             )
-            patch_im[:] = patch_im[:] + _dot3_bf16(
-                ax * (vim * amp), ay, contract
+            strip_im[sbuf, :, pl.ds(oy, PY)] = (
+                strip_im[sbuf, :, pl.ds(oy, PY)] + patch_im
             )
 
-        @pl.when(i == n - 1)
+        @pl.when(active & (v < 0))
         def _():
-            flush(ox_i, oy_i)
+            s = -1 - v
+            cur = sbuf
+            other = 1 - cur
+
+            def out_copies(buf, strip_idx, rows):
+                r0 = pl.multiple_of(strip_idx * SX, 8)
+                return (
+                    pltpu.make_async_copy(
+                        strip_re.at[buf, pl.ds(0, rows), :],
+                        out_re.at[pl.ds(r0, rows), :],
+                        out_sems.at[buf, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        strip_im.at[buf, pl.ds(0, rows), :],
+                        out_im.at[pl.ds(r0, rows), :],
+                        out_sems.at[buf, 1],
+                    ),
+                )
+
+            # The other buffer's write (strip s-1) must land before the
+            # carry roll reuses it.
+            @pl.when(s >= 1)
+            def _():
+                for copy in out_copies(other, s - 1, SX):
+                    copy.wait()
+
+            strip_re[other, 0:CARRY, :] = strip_re[cur, SX:PX, :]
+            strip_re[other, CARRY:PX, :] = jnp.zeros(
+                (PX - CARRY, NY), jnp.float32
+            )
+            strip_im[other, 0:CARRY, :] = strip_im[cur, SX:PX, :]
+            strip_im[other, CARRY:PX, :] = jnp.zeros(
+                (PX - CARRY, NY), jnp.float32
+            )
+
+            @pl.when(s < NS - 1)
+            def _():
+                for copy in out_copies(cur, s, SX):
+                    copy.start()
+
+            @pl.when(s == NS - 1)
+            def _():
+                # Final strip owns its carry rows too; drain inline.
+                for copy in out_copies(cur, s, PX):
+                    copy.start()
+                for copy in out_copies(cur, s, PX):
+                    copy.wait()
 
     return kernel
 
 
-def _degrid_plane_kernel_factory(plan: GridderPlan):
+def _degrid_strip_kernel_factory(plan: GridderPlan):
     PX, PY = plan.patch_x, plan.patch_y
-    B, W = plan.block, plan.support
-    beta = plan.beta
-    inv_whalf = 2.0 / (W * plan.dw)
+    B = plan.block
+    SX = plan.tile_x
+    NS = plan.num_strips
     wstacking = plan.wstacking
 
     def kernel(
         # scalar prefetch
-        active_row,
-        block_start,
-        block_len,
-        block_ox,
-        block_oy,
-        active_count,
+        step_val,
+        step_aux,
+        step_aux2,
+        first_blk,
+        last_blks,
+        blk_oy,
+        count,
         # inputs
         packed_hbm,
         wp_ref,
-        alloc_re_hbm,
-        alloc_im_hbm,
+        grid_re_hbm,
+        grid_im_hbm,
         out_in,
-        # outputs (out aliased)
-        out_hbm,  # (2, num_vis) per-plane contributions
+        # outputs (aliased to out_in)
+        out_hbm,
         # scratch
+        gbuf_re,
+        gbuf_im,
         pack_buf,
-        patch_re,
-        patch_im,
         con_buf,
-        prev,
-        dma_sems,
-        patch_sems,
+        in_sems,
+        grid_sems,
         out_sems,
     ):
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
-        count = active_count[0]
+        j = pl.program_id(0)
+        cnt = count[0]
 
-        def block_meta(slot):
-            b = jnp.maximum(active_row[jnp.minimum(slot, n - 1)], 0)
-            start = pl.multiple_of(b * B, B)
-            ox = pl.multiple_of(block_ox[b], 8)
-            oy = pl.multiple_of(block_oy[b], 128)
-            return start, block_len[b], ox, oy
-
-        def pack_dma(slot, buf):
-            s, _, _, _ = block_meta(slot)
+        def pack_copy(b, par):
+            s = pl.multiple_of(b * B, B)
             return pltpu.make_async_copy(
                 packed_hbm.at[:, pl.ds(s, B)],
-                pack_buf.at[buf],
-                dma_sems.at[buf],
+                pack_buf.at[par],
+                in_sems.at[par],
             )
 
-        def load_patch(ox, oy):
-            ox = pl.multiple_of(ox, 8)
-            oy = pl.multiple_of(oy, 128)
-            read_re = pltpu.make_async_copy(
-                alloc_re_hbm.at[pl.ds(ox, PX), pl.ds(oy, PY)],
-                patch_re,
-                patch_sems.at[0],
+        def grid_copies(strip_idx, buf):
+            r0 = pl.multiple_of(strip_idx * SX, 8)
+            return (
+                pltpu.make_async_copy(
+                    grid_re_hbm.at[pl.ds(r0, PX), :],
+                    gbuf_re.at[buf],
+                    grid_sems.at[buf, 0],
+                ),
+                pltpu.make_async_copy(
+                    grid_im_hbm.at[pl.ds(r0, PX), :],
+                    gbuf_im.at[buf],
+                    grid_sems.at[buf, 1],
+                ),
             )
-            read_im = pltpu.make_async_copy(
-                alloc_im_hbm.at[pl.ds(ox, PX), pl.ds(oy, PY)],
-                patch_im,
-                patch_sems.at[1],
+
+        def out_copy(b, par):
+            s = pl.multiple_of(b * B, B)
+            return pltpu.make_async_copy(
+                con_buf.at[par],
+                out_hbm.at[:, pl.ds(s, B)],
+                out_sems.at[par],
             )
-            read_re.start()
-            read_im.start()
-            read_re.wait()
-            read_im.wait()
 
-        s_i, len_i, ox_i, oy_i = block_meta(i)
-
-        @pl.when(i == 0)
+        @pl.when(j == 0)
         def _():
-            @pl.when(count > 0)
+            for copy in grid_copies(0, 0):
+                copy.start()
+
+            @pl.when(first_blk[0] >= 0)
             def _():
-                pack_dma(0, 0).start()
-                load_patch(ox_i, oy_i)
+                pack_copy(jnp.maximum(first_blk[0], 0), 0).start()
 
-            prev[0] = ox_i
-            prev[1] = oy_i
+        v, pref, sbuf, par = _decode_step(step_val, step_aux, j)
+        prev2 = step_aux2[j] - 1
+        active = j < cnt
 
-        # Inactive tail steps (i >= count) skip their DMAs entirely.
-        @pl.when(i + 1 < count)
+        @pl.when(active & (pref >= 0))
         def _():
-            pack_dma(i + 1, (i + 1) % 2).start()
+            pack_copy(jnp.maximum(pref, 0), 1 - par).start()
 
-        changed = jnp.logical_or(ox_i != prev[0], oy_i != prev[1])
-
-        @pl.when(jnp.logical_and(jnp.logical_and(i > 0, changed), i < count))
+        @pl.when(active & (v < 0))
         def _():
-            load_patch(ox_i, oy_i)
-            prev[0] = ox_i
-            prev[1] = oy_i
+            # Sentinel opens strip s: its rows were prefetched at the
+            # previous sentinel (or step 0); prefetch the next strip.
+            s = -1 - v
+            cur = sbuf
+            for copy in grid_copies(s, cur):
+                copy.wait()
 
-        @pl.when(i < count)
+            @pl.when(s + 1 < NS)
+            def _():
+                for copy in grid_copies(s + 1, 1 - cur):
+                    copy.start()
+
+            # Last sentinel drains the trailing contribution writes
+            # (blocks last and last-1; parity rides in the encoding).
+            @pl.when(s == NS - 1)
+            def _():
+                for slot in range(2):
+                    enc = last_blks[slot]
+
+                    @pl.when(enc >= 0)
+                    def _():
+                        out_copy(
+                            jnp.maximum(enc >> 1, 0), enc & 1
+                        ).wait()
+
+        @pl.when(active & (v >= 0))
         def _():
-            pack_dma(i, i % 2).wait()
-
-        # Wait for the step-(i-2) contribution write before reusing its
-        # half of the double buffer (only if that step actually wrote).
-        @pl.when(jnp.logical_and(i >= 2, (i - 2) < count))
-        def _():
-            prev_s, _, _, _ = block_meta(i - 2)
-            pltpu.make_async_copy(
-                con_buf.at[i % 2],
-                out_hbm.at[:, pl.ds(prev_s, B)],
-                out_sems.at[i % 2],
-            ).wait()
-
-        @pl.when(i < count)
-        def _():
-            buf = i % 2
-            data = pack_buf[buf]
-            fx = data[0:1, :]
-            fy = data[1:2, :]
-            ws = data[2:3, :]
-            x0 = lax.bitcast_convert_type(data[3:4, :], jnp.int32)
-            y0 = lax.bitcast_convert_type(data[4:5, :], jnp.int32)
-
-            iota_x = lax.broadcasted_iota(jnp.int32, (PX, B), 0)
-            iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0)
-            rx = iota_x - (x0 - ox_i)
-            ry = iota_y - (y0 - oy_i)
-            inv_half = jnp.float32(2.0 / W)
-            ax = es_kernel_jnp(
-                (rx.astype(jnp.float32) - fx) * inv_half, beta
+            b = jnp.maximum(v, 0)
+            pack_copy(b, par).wait()
+            ax, ay, amp = _kernel_factors(
+                plan, pack_buf[par], wp_ref, wstacking
             )
-            ay = es_kernel_jnp(
-                (ry.astype(jnp.float32) - fy) * inv_half, beta
-            )
-
-            lane = lax.broadcasted_iota(jnp.int32, (1, B), 1) < len_i
-            if wstacking:
-                kw = es_kernel_jnp(
-                    (wp_ref[0, 0] - ws) * inv_whalf, beta
-                )
-            else:
-                kw = jnp.ones_like(ws)
-            amp = jnp.where(lane, kw, 0.0)
-
-            # con[b] = sum_pq patch[p, q] ax[p, b] ay[q, b]
-            #        = sum_q ay[q, b] * (patch^T @ ax)[q, b]
+            oy = pl.multiple_of(blk_oy[b], 128)
+            patch_re = gbuf_re[sbuf, :, pl.ds(oy, PY)]
+            patch_im = gbuf_im[sbuf, :, pl.ds(oy, PY)]
             contract0 = (((0,), (0,)), ((), ()))
-            t_re = _dot3_bf16(patch_re[:], ax, contract0)  # (PY, B)
-            t_im = _dot3_bf16(patch_im[:], ax, contract0)
+            t_re = _dot3_bf16(patch_re, ax, contract0)  # (PY, B)
+            t_im = _dot3_bf16(patch_im, ax, contract0)
             con_re = jnp.sum(t_re * ay, axis=0, keepdims=True) * amp
             con_im = jnp.sum(t_im * ay, axis=0, keepdims=True) * amp
-            con_buf[buf, 0:1, :] = con_re
-            con_buf[buf, 1:2, :] = con_im
-            pltpu.make_async_copy(
-                con_buf.at[buf],
-                out_hbm.at[:, pl.ds(s_i, B)],
-                out_sems.at[buf],
-            ).start()
 
-        @pl.when(i == n - 1)
-        def _():
-            # Drain outstanding contribution writes
-            @pl.when(i < count)
+            # Reuse of this con_buf half must wait for the out-DMA of
+            # the block two steps back (same parity).
+            @pl.when(prev2 >= 0)
             def _():
-                pltpu.make_async_copy(
-                    con_buf.at[i % 2],
-                    out_hbm.at[:, pl.ds(s_i, B)],
-                    out_sems.at[i % 2],
-                ).wait()
+                out_copy(jnp.maximum(prev2, 0), par).wait()
 
-            @pl.when(jnp.logical_and(i >= 1, (i - 1) < count))
-            def _():
-                prev_s, _, _, _ = block_meta(i - 1)
-                pltpu.make_async_copy(
-                    con_buf.at[(i - 1) % 2],
-                    out_hbm.at[:, pl.ds(prev_s, B)],
-                    out_sems.at[(i - 1) % 2],
-                ).wait()
+            con_buf[par, 0:1, :] = con_re
+            con_buf[par, 1:2, :] = con_im
+            out_copy(b, par).start()
 
     return kernel
 
 
-def build_degrid_planes_pallas(
-    plan: GridderPlan, *, interpret: bool = False
-):
-    """
-    Returns ``degrid_plane(active_row, block_start, block_len,
-    block_ox, block_oy, active_count, packed, alloc_re, alloc_im, w_p)
-    -> (2, num_vis)``: per-plane visibility contributions read off a
-    (already FFT'd and unfolded) uv grid. The caller accumulates
-    across planes.
-    """
-    B = plan.block
-    num_vis = plan.num_vis
-    num_steps = max(plan.active_table.shape[1], 1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(num_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_p
-            pl.BlockSpec(memory_space=pltpu.ANY),  # alloc_re
-            pl.BlockSpec(memory_space=pltpu.ANY),  # alloc_im
-            pl.BlockSpec(memory_space=pltpu.ANY),  # out zeros
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, PACK_COLS, plan.block), jnp.float32),
-            pltpu.VMEM((plan.patch_x, plan.patch_y), jnp.float32),
-            pltpu.VMEM((plan.patch_x, plan.patch_y), jnp.float32),
-            pltpu.VMEM((2, 2, plan.block), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-
-    kernel = _degrid_plane_kernel_factory(plan)
-
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, num_vis), jnp.float32),
-        # out zeros input (position 10 after 6 prefetch + packed, w_p,
-        # alloc_re, alloc_im) aliases the output
-        input_output_aliases={10: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )
-
-    def degrid_plane(
-        active_row,
-        block_start,
-        block_len,
-        block_ox,
-        block_oy,
-        active_count,
-        packed,
-        alloc_re,
-        alloc_im,
-        w_p,
-    ):
-        zeros = jnp.zeros((2, num_vis), jnp.float32)
-        return call(
-            active_row,
-            block_start,
-            block_len,
-            block_ox,
-            block_oy,
-            active_count,
-            packed,
-            w_p.reshape(1, 1),
-            alloc_re,
-            alloc_im,
-            zeros,
-        )
-
-    return degrid_plane
-
-
 def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
     """
-    Returns ``grid_plane(active_row, block_start, block_len, block_ox,
-    block_oy, active_count, packed, vis_split, w_p) -> (alloc_re,
-    alloc_im)``: grid one w-plane's blocks onto a zeroed padded uv grid.
+    Returns ``grid_plane(step_val, step_aux, first_block, block_oy,
+    count, packed, vis_split, w_p) -> (alloc_re, alloc_im)``: grid one
+    w-plane's blocks onto the padded uv alloc, every row written
+    exactly once.
     """
-    PX, PY, B = plan.patch_x, plan.patch_y, plan.block
-    num_steps = max(plan.active_table.shape[1], 1)
+    PX = plan.patch_x
+    B = plan.block
+    NY = plan.nalloc_y
+    num_steps = max(plan.step_val.shape[1], 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed (8, V)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vis (2, V)
+            pl.BlockSpec(memory_space=pl.ANY),  # packed (8, V)
+            pl.BlockSpec(memory_space=pl.ANY),  # vis (2, V)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # w_p (1, 1)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # alloc_re_in
-            pl.BlockSpec(memory_space=pltpu.ANY),  # alloc_im_in
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
+            pltpu.VMEM((2, PX, NY), jnp.float32),
+            pltpu.VMEM((2, PX, NY), jnp.float32),
             pltpu.VMEM((2, PACK_COLS, B), jnp.float32),
             pltpu.VMEM((2, 2, B), jnp.float32),
-            pltpu.VMEM((PX, PY), jnp.float32),
-            pltpu.VMEM((PX, PY), jnp.float32),
-            pltpu.VMEM((PX, PY), jnp.float32),
-            pltpu.VMEM((PX, PY), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
-    kernel = _grid_plane_kernel_factory(plan)
+    kernel = _grid_strip_kernel_factory(plan)
 
     call = pl.pallas_call(
         kernel,
@@ -565,37 +464,106 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
                 (plan.nalloc_x, plan.nalloc_y), jnp.float32
             ),
         ],
-        # alloc inputs (positions 9, 10 counting the 6 prefetch args
-        # then packed, vis, w_p) alias the two outputs
-        input_output_aliases={9: 0, 10: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
 
     def grid_plane(
-        active_row,
-        block_start,
-        block_len,
-        block_ox,
-        block_oy,
-        active_count,
-        packed,
-        vis_split,
-        w_p,
+        step_val, step_aux, first_block, block_oy, count, packed,
+        vis_split, w_p,
     ):
-        zeros = jnp.zeros((plan.nalloc_x, plan.nalloc_y), jnp.float32)
         return call(
-            active_row,
-            block_start,
-            block_len,
-            block_ox,
+            step_val,
+            step_aux,
+            first_block,
             block_oy,
-            active_count,
+            count,
             packed,
             vis_split,
             w_p.reshape(1, 1),
-            zeros,
-            zeros,
         )
 
     return grid_plane
+
+
+def build_degrid_planes_pallas(
+    plan: GridderPlan, *, interpret: bool = False
+):
+    """
+    Returns ``degrid_plane(step_val, step_aux, step_aux2, first_block,
+    last_blocks, block_oy, count, packed, alloc_re, alloc_im, w_p)
+    -> (2, num_vis)``: per-plane visibility contributions read off a
+    (already FFT'd and unfolded) uv alloc. The caller accumulates
+    across planes.
+    """
+    PX = plan.patch_x
+    B = plan.block
+    NY = plan.nalloc_y
+    num_vis = plan.num_vis
+    num_steps = max(plan.step_val.shape[1], 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # packed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_p
+            pl.BlockSpec(memory_space=pl.ANY),  # alloc_re
+            pl.BlockSpec(memory_space=pl.ANY),  # alloc_im
+            pl.BlockSpec(memory_space=pl.ANY),  # out zeros
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, PX, NY), jnp.float32),
+            pltpu.VMEM((2, PX, NY), jnp.float32),
+            pltpu.VMEM((2, PACK_COLS, B), jnp.float32),
+            pltpu.VMEM((2, 2, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = _degrid_strip_kernel_factory(plan)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, num_vis), jnp.float32),
+        # out zeros input (position 11 after 7 prefetch + packed, w_p,
+        # alloc_re, alloc_im) aliases the output
+        input_output_aliases={11: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def degrid_plane(
+        step_val,
+        step_aux,
+        step_aux2,
+        first_block,
+        last_blocks,
+        block_oy,
+        count,
+        packed,
+        alloc_re,
+        alloc_im,
+        w_p,
+    ):
+        zeros = jnp.zeros((2, num_vis), jnp.float32)
+        return call(
+            step_val,
+            step_aux,
+            step_aux2,
+            first_block,
+            last_blocks,
+            block_oy,
+            count,
+            packed,
+            w_p.reshape(1, 1),
+            alloc_re,
+            alloc_im,
+            zeros,
+        )
+
+    return degrid_plane

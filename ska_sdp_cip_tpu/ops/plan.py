@@ -52,8 +52,10 @@ DEFAULT_PATCH_X = 128
 DEFAULT_PATCH_Y = 256
 
 #: Visibilities per block: the contraction length of the per-block
-#: gridding matmul.
-DEFAULT_BLOCK = 512
+#: gridding matmul. 128 = one MXU pass; smaller blocks raise the slot
+#: fill factor of wbin-pure tiles (measured ~0.88 vs ~0.61 at 512 on
+#: MeerKAT-like uv coverage), and MXU time scales with filled slots.
+DEFAULT_BLOCK = 128
 
 
 def next_even_grid_size(n: int) -> int:
@@ -128,6 +130,17 @@ class GridderPlan:
     #: Number of real (row, chan) visibility samples (before padding).
     num_vis_data: int = 0
 
+    # Strip-kernel step program (see pallas_gridder): per plane, the
+    # interleaved sequence of block steps (value >= 0) and strip
+    # sentinels (value == -1 - strip); -2 pads inactive tail steps.
+    num_strips: int = 0
+    step_val: np.ndarray = field(repr=False, default=None)
+    step_aux: np.ndarray = field(repr=False, default=None)
+    step_aux2: np.ndarray = field(repr=False, default=None)
+    step_count: np.ndarray = field(repr=False, default=None)
+    first_block: np.ndarray = field(repr=False, default=None)
+    last_blocks: np.ndarray = field(repr=False, default=None)
+
     @property
     def num_vis(self) -> int:
         """Number of visibility slots (num_blocks * block)."""
@@ -154,6 +167,8 @@ class GridderPlan:
             self.num_blocks,
             self.max_active,
             self.num_vis,
+            self.num_strips,
+            self.step_val.shape[1],
         )
 
 
@@ -193,6 +208,101 @@ def _build_active_table(
     return table
 
 
+def build_step_tables(
+    plane_lo: np.ndarray,
+    plane_hi: np.ndarray,
+    block_strip: np.ndarray,
+    nplanes: int,
+    num_strips: int,
+) -> dict:
+    """
+    Per-plane step programs for the strip-resident Pallas kernels: the
+    interleaved sequence of block steps and strip sentinels, plus the
+    side-channel scalars (DMA prefetch target, buffer parities,
+    two-behind block for the degrid out-DMA drain) the kernel reads
+    from SMEM. Encoding:
+
+    * ``step_val``: block id (>= 0), sentinel ``-1 - strip``, pad -2.
+    * ``step_aux``: ``(pref + 1) << 2 | strip_parity << 1 | parity``
+      where ``pref`` is the block whose input DMA to start at this
+      step and ``parity`` the block's double-buffer slot.
+    * ``step_aux2``: block id two block-steps behind, plus one (0 if
+      none) — the degrid kernel waits that block's output DMA before
+      reusing its buffer half.
+    """
+    num_blocks = len(plane_lo)
+    # Active blocks per plane: cumulative of range starts minus ends
+    if num_blocks:
+        counts = np.cumsum(
+            np.bincount(plane_lo, minlength=nplanes)
+            - np.bincount(
+                plane_hi + 1, minlength=nplanes + 1
+            )[:nplanes]
+        )
+    else:
+        counts = np.zeros(nplanes, dtype=np.int64)
+    max_steps = int(counts.max() if nplanes else 0) + num_strips
+    max_steps = max(max_steps, num_strips, 1)
+
+    step_val = np.full((nplanes, max_steps), -2, dtype=np.int32)
+    step_aux = np.zeros((nplanes, max_steps), dtype=np.int32)
+    step_aux2 = np.zeros((nplanes, max_steps), dtype=np.int32)
+    step_count = np.zeros(nplanes, dtype=np.int32)
+    first_block = np.full(nplanes, -1, dtype=np.int32)
+    last_blocks = np.full((nplanes, 2), -1, dtype=np.int32)
+
+    for p in range(nplanes):
+        active = np.flatnonzero((plane_lo <= p) & (plane_hi >= p))
+        nb = len(active)
+        strips = (
+            block_strip[active] if nb else np.zeros(0, dtype=np.int64)
+        )
+        # Sentinel for strip s goes after the last block of strip s
+        per_strip = np.bincount(strips, minlength=num_strips)
+        # Step position of block j: j + (number of sentinels before
+        # it) = j + strips[j]; sentinel s at per-strip cumsum + s + 1.
+        pos_blocks = np.arange(nb) + strips
+        pos_sent = np.cumsum(per_strip) + np.arange(num_strips)
+        vals = np.empty(nb + num_strips, dtype=np.int32)
+        vals[pos_blocks] = active
+        vals[pos_sent] = -1 - np.arange(num_strips)
+        aux = np.zeros(nb + num_strips, dtype=np.int32)
+        # Current strip at each step (for the buffer-parity bit)
+        cur_strip = np.zeros(nb + num_strips, dtype=np.int64)
+        cur_strip[pos_blocks] = strips
+        cur_strip[pos_sent] = np.arange(num_strips)
+        aux |= (cur_strip % 2).astype(np.int32) << 1
+        parity = (np.arange(nb) % 2).astype(np.int32)
+        aux[pos_blocks] |= parity
+        pref = np.zeros(nb + num_strips, dtype=np.int32)
+        if nb > 1:
+            pref[pos_blocks[:-1]] = active[1:] + 1
+        aux |= pref << 2
+        aux2 = np.zeros(nb + num_strips, dtype=np.int32)
+        if nb > 2:
+            aux2[pos_blocks[2:]] = active[:-2] + 1
+        n_steps = nb + num_strips
+        step_val[p, :n_steps] = vals
+        step_aux[p, :n_steps] = aux
+        step_aux2[p, :n_steps] = aux2
+        step_count[p] = n_steps
+        if nb:
+            first_block[p] = active[0]
+            # Encoded (block << 1 | parity) for the degrid drain
+            last_blocks[p, 0] = (active[-1] << 1) | ((nb - 1) % 2)
+            if nb > 1:
+                last_blocks[p, 1] = (active[-2] << 1) | ((nb - 2) % 2)
+
+    return {
+        "step_val": step_val,
+        "step_aux": step_aux,
+        "step_aux2": step_aux2,
+        "step_count": step_count,
+        "first_block": first_block,
+        "last_blocks": last_blocks,
+    }
+
+
 def pad_plans_uniform(plans: list) -> list:
     """
     Pad a list of per-shard plans to common static shapes (blocks,
@@ -227,7 +337,9 @@ def pad_plans_uniform(plans: list) -> list:
     num_blocks = max(p.num_blocks for p in plans)
     max_active = max(p.max_active for p in plans)
     nplanes = max(p.nplanes for p in plans)
+    max_steps = max(p.step_val.shape[1] for p in plans)
     block = plans[0].block
+    num_strips = plans[0].num_strips
     num_vis = num_blocks * block
 
     def _pad1(arr, target, fill):
@@ -237,18 +349,46 @@ def pad_plans_uniform(plans: list) -> list:
         out[: len(arr)] = arr
         return out
 
+    # Sentinel-only step rows for padding planes: they still write the
+    # (zero) grid so every plane's output is fully defined.
+    sent_val = (-1 - np.arange(num_strips)).astype(np.int32)
+    sent_aux = ((np.arange(num_strips) % 2) << 1).astype(np.int32)
+
     padded = []
     for p in plans:
         table = np.full((nplanes, max_active), -1, dtype=np.int32)
         table[: p.active_table.shape[0], : p.active_table.shape[1]] = (
             p.active_table
         )
+        step_val = np.full((nplanes, max_steps), -2, dtype=np.int32)
+        step_aux = np.zeros((nplanes, max_steps), dtype=np.int32)
+        step_aux2 = np.zeros((nplanes, max_steps), dtype=np.int32)
+        step_val[:, :num_strips] = sent_val
+        step_aux[:, :num_strips] = sent_aux
+        rows, cols = p.step_val.shape
+        step_val[:rows, :cols] = p.step_val
+        step_val[:rows, cols:] = -2
+        step_aux[:rows, :cols] = p.step_aux
+        step_aux[:rows, cols:] = 0
+        step_aux2[:rows, :cols] = p.step_aux2
+        step_count = np.full(nplanes, num_strips, dtype=np.int32)
+        step_count[:rows] = p.step_count
+        first_block = np.full(nplanes, -1, dtype=np.int32)
+        first_block[:rows] = p.first_block
+        last_blocks = np.full((nplanes, 2), -1, dtype=np.int32)
+        last_blocks[:rows] = p.last_blocks
         block_start = (
             np.arange(num_blocks, dtype=np.int64) * block
         ).astype(np.int32)
         padded.append(
             dataclasses.replace(
                 p,
+                step_val=step_val,
+                step_aux=step_aux,
+                step_aux2=step_aux2,
+                step_count=step_count,
+                first_block=first_block,
+                last_blocks=last_blocks,
                 nplanes=nplanes,
                 num_blocks=num_blocks,
                 max_active=max_active,
@@ -344,12 +484,22 @@ def make_plan(
         # |dw * (nm1 - n_mid)| <= dw * |nm1_min| / 2 inside the
         # kernel's alias-free band 1/(2 sigma).
         dw = 1.0 / (sigma * abs(nm1_min))
-        nplanes = int(np.ceil((wmax - wmin) / dw)) + support + 1
-        w0_plane = wmin - (support / 2.0) * dw
+        # Floor binning: a visibility in data bin
+        # q = floor((w - wmin) / dw) touches exactly the W planes
+        # [q, q + W) at w0 + p * dw, w0 = wmin - (W/2 - 1) dw — one
+        # fewer plane per visibility than the rounded-bin +-W/2 window.
+        num_bins = (
+            int(np.floor((wmax - wmin) / dw)) + 1 if num_vis else 1
+        )
+        nplanes = num_bins + support - 1
+        w0_plane = wmin - (support / 2.0 - 1.0) * dw
+        bin_origin = wmin
     else:
         dw = 1.0
+        num_bins = 1
         nplanes = 1
         w0_plane = 0.0
+        bin_origin = 0.0
     nplanes = max(nplanes, min_planes)
 
     # --- uv tiling -----------------------------------------------------
@@ -365,14 +515,19 @@ def make_plan(
     half = support // 2
 
     # Footprint starts lie in [1 - W/2 + W, ngrid + W/2] in the alloc
-    # frame; tiles must cover the largest start, and the alloc must
+    # frame; strips must cover the largest start, and the alloc must
     # also contain the wrap margin [0, ngrid + 2W) read by the fold.
+    # The alloc row extent is exactly num_strips * tile_x + carry so
+    # the strip kernel's write-once row decomposition tiles it.
+    carry = patch_x - tile_x
     nalloc_min = ngrid + 2 * support
     max_start = ngrid + half
     ntx = max_start // tile_x + 1
-    nalloc_x = max((ntx - 1) * tile_x + patch_x, nalloc_min)
+    num_strips = max(ntx, -(-(nalloc_min - carry) // tile_x))
+    nalloc_x = num_strips * tile_x + carry
     nty = max_start // tile_y + 1
     nalloc_y = max((nty - 1) * tile_y + patch_y, nalloc_min)
+    nalloc_y = -(-nalloc_y // 128) * 128
 
     if use_native:
         cols = _native.plan_arrays(
@@ -385,15 +540,15 @@ def make_plan(
             tile_cells_y=tile_y,
             ntiles_y=nty,
             wstacking=wstacking,
-            w0_plane=w0_plane,
+            w0_plane=bin_origin,
             dw=dw,
-            nplanes=nplanes,
+            nplanes=num_bins,
         )
         # Stable sort by the composite (tile, wbin) key
         order = _native.argsort_i64(cols["key"])
         key_sorted = cols["key"][order]
-        tile_sorted = key_sorted // nplanes
-        wbin_sorted = key_sorted % nplanes
+        tile_sorted = key_sorted // num_bins
+        wbin_sorted = key_sorted % num_bins
         x0_sorted = _native.gather(cols["x0"], order)
         y0_sorted = _native.gather(cols["y0"], order)
         fx_sorted = _native.gather(cols["fx"], order)
@@ -412,8 +567,8 @@ def make_plan(
         tile_id = (x0 // tile_x) * nty + (y0 // tile_y)
 
         if wstacking:
-            wbin = np.floor((w - w0_plane) / dw + 0.5).astype(np.int64)
-            wbin = np.clip(wbin, 0, nplanes - 1)
+            wbin = np.floor((w - bin_origin) / dw).astype(np.int64)
+            wbin = np.clip(wbin, 0, num_bins - 1)
         else:
             wbin = np.zeros(num_vis, dtype=np.int64)
 
@@ -431,8 +586,17 @@ def make_plan(
         flip_sorted = flip[order]
 
     # --- block decomposition (in sorted space) -------------------------
+    # Blocks are (tile, wbin)-pure: every visibility in a block shares
+    # one patch origin AND one w data bin, so the strip kernel grids a
+    # block onto exactly its W-plane window.
     if num_vis:
-        boundaries = np.flatnonzero(np.diff(tile_sorted)) + 1
+        boundaries = (
+            np.flatnonzero(
+                (np.diff(tile_sorted) != 0)
+                | (np.diff(wbin_sorted) != 0)
+            )
+            + 1
+        )
         group_starts = np.concatenate(([0], boundaries))
         group_ends = np.concatenate((boundaries, [num_vis]))
         num_per_group = -(-(group_ends - group_starts) // block)
@@ -457,12 +621,12 @@ def make_plan(
     block_ox = ((block_tile // nty) * tile_x).astype(np.int32)
     block_oy = ((block_tile % nty) * tile_y).astype(np.int32)
 
-    # w-bin extent per block -> active plane range [lo - h, hi + h]
+    # Data bin q -> active plane window [q, q + W) (floor binning)
     if num_blocks:
         bin_lo = wbin_sorted[sorted_start]  # ascending within a tile
         bin_hi = wbin_sorted[sorted_start + block_len - 1]
-        plane_lo = np.maximum(bin_lo - half, 0)
-        plane_hi = np.minimum(bin_hi + half, nplanes - 1)
+        plane_lo = np.maximum(bin_lo, 0)
+        plane_hi = np.minimum(bin_hi + support - 1, nplanes - 1)
     else:
         plane_lo = np.zeros(0, dtype=np.int64)
         plane_hi = np.zeros(0, dtype=np.int64)
@@ -471,6 +635,15 @@ def make_plan(
         plane_lo, plane_hi, nplanes, min_active
     )
     max_active = active_table.shape[1]
+
+    block_strip = (
+        (block_ox // tile_x).astype(np.int64)
+        if num_blocks
+        else np.zeros(0, dtype=np.int64)
+    )
+    step_tables = build_step_tables(
+        plane_lo, plane_hi, block_strip, nplanes, num_strips
+    )
 
     # --- block-slot re-packing -----------------------------------------
     # Slot layout: block b owns [b*B, (b+1)*B); every DMA offset is
@@ -549,4 +722,6 @@ def make_plan(
         plane_w=plane_w.astype(np.float32),
         quad_nodes=quad_nodes,
         quad_folded=quad_folded,
+        num_strips=num_strips,
+        **step_tables,
     )
