@@ -212,25 +212,12 @@ def run_program(cli_args: list[str]) -> None:
     np.save(args.output_image.with_suffix(".npy"), image)
 
     if args.clean > 0:
-        from ..invert import (
-            StokesIGridderInput,
-            pixel_size_lm_from_asec,
-        )
-        from ..models import MeasurementOperator, major_cycle_clean
         from ..models.restore import restore_image
 
-        gridder_input = StokesIGridderInput.from_reader(reader)
-        operator = MeasurementOperator.build(
-            gridder_input.uvw,
-            gridder_input.channel_frequencies,
-            gridder_input.effective_weights(),
-            args.num_pixels,
-            pixel_size_lm_from_asec(args.pixel_size),
-            epsilon=args.epsilon,
-            do_wstacking=not args.no_wstacking,
-        )
         if args.devices is not None:
-            # Distributed major cycle over the same mesh shape
+            # Distributed major cycle over the same mesh shape; the
+            # PSF comes from the sharded program itself, so no
+            # single-device operator over the full dataset is built.
             from ..parallel.mesh import make_device_mesh
             from ..parallel.sharded_clean import (
                 sharded_major_cycle_clean,
@@ -239,7 +226,7 @@ def run_program(cli_args: list[str]) -> None:
             num_devices = (
                 None if args.devices == "all" else int(args.devices)
             )
-            model, residual = sharded_major_cycle_clean(
+            model, residual, psf = sharded_major_cycle_clean(
                 reader,
                 args.num_pixels,
                 args.pixel_size,
@@ -248,44 +235,86 @@ def run_program(cli_args: list[str]) -> None:
                 freq_chunks=args.freq_chunks,
                 epsilon=args.epsilon,
                 do_wstacking=not args.no_wstacking,
+                weighting=args.weighting,
+                robust=args.robust,
                 num_major=args.clean,
                 gain=args.gain,
                 minor_iter=args.minor_iter,
-            )
-        elif args.algorithm == "multiscale":
-            from ..models.multiscale import multiscale_clean
-
-            model, residual = multiscale_clean(
-                operator,
-                gridder_input.visibilities.ravel(),
-                scales=tuple(args.scales),
-                num_major=args.clean,
-                gain=args.gain,
-                minor_iter=args.minor_iter,
-            )
-        elif args.algorithm == "fista":
-            from ..models.fista import fista_clean
-
-            model, residual, _ = fista_clean(
-                operator,
-                gridder_input.visibilities.ravel(),
-                num_iter=args.clean * args.minor_iter // 10,
             )
         else:
-            model, residual = major_cycle_clean(
-                operator,
-                gridder_input.visibilities.ravel(),
-                num_major=args.clean,
-                gain=args.gain,
-                minor_iter=args.minor_iter,
-                checkpoint_dir=args.checkpoint_dir,
+            from ..invert import (
+                StokesIGridderInput,
+                pixel_size_lm_from_asec,
             )
+            from ..models import (
+                MeasurementOperator,
+                major_cycle_clean,
+            )
+
+            gridder_input = StokesIGridderInput.from_reader(reader)
+            weights = gridder_input.effective_weights()
+            if args.weighting != "natural":
+                # The model/residual must be consistent with the
+                # weighting used for the dirty image above.
+                from ..models.weighting import ImagingWeighter
+
+                weighter = ImagingWeighter(
+                    args.num_pixels,
+                    pixel_size_lm_from_asec(args.pixel_size),
+                    scheme=args.weighting,
+                    robust=args.robust,
+                ).fit(
+                    gridder_input.uvw,
+                    gridder_input.channel_frequencies,
+                    weights,
+                )
+                weights = weighter.apply(
+                    gridder_input.uvw,
+                    gridder_input.channel_frequencies,
+                    weights,
+                )
+            operator = MeasurementOperator.build(
+                gridder_input.uvw,
+                gridder_input.channel_frequencies,
+                weights,
+                args.num_pixels,
+                pixel_size_lm_from_asec(args.pixel_size),
+                epsilon=args.epsilon,
+                do_wstacking=not args.no_wstacking,
+            )
+            if args.algorithm == "multiscale":
+                from ..models.multiscale import multiscale_clean
+
+                model, residual = multiscale_clean(
+                    operator,
+                    gridder_input.visibilities.ravel(),
+                    scales=tuple(args.scales),
+                    num_major=args.clean,
+                    gain=args.gain,
+                    minor_iter=args.minor_iter,
+                )
+            elif args.algorithm == "fista":
+                from ..models.fista import fista_clean
+
+                model, residual, _ = fista_clean(
+                    operator,
+                    gridder_input.visibilities.ravel(),
+                    num_iter=args.clean * args.minor_iter // 10,
+                )
+            else:
+                model, residual = major_cycle_clean(
+                    operator,
+                    gridder_input.visibilities.ravel(),
+                    num_major=args.clean,
+                    gain=args.gain,
+                    minor_iter=args.minor_iter,
+                    checkpoint_dir=args.checkpoint_dir,
+                )
+            psf = np.asarray(operator.psf())
         base = args.output_image.with_suffix("")
         np.save(base.with_suffix(".model.npy"), np.asarray(model))
         np.save(base.with_suffix(".residual.npy"), np.asarray(residual))
-        restored = restore_image(
-            model, residual, np.asarray(operator.psf())
-        )
+        restored = restore_image(model, residual, np.asarray(psf))
         np.save(base.with_suffix(".restored.npy"), restored)
 
 

@@ -90,6 +90,18 @@ def get_parser() -> argparse.ArgumentParser:
         default=0,
         help="This host's index in [0, num_hosts)",
     )
+    parser.add_argument(
+        "--run-id",
+        type=str,
+        default="run",
+        help=(
+            "Label scoping the multi-host pass-1 barrier markers. Must "
+            "be identical on every host of one launch; use a fresh "
+            "value when re-running into an outdir that may hold "
+            "markers from an earlier launch, or stale markers could "
+            "release the barrier early"
+        ),
+    )
     return parser
 
 
@@ -120,6 +132,16 @@ def run_program(cli_args: list) -> None:
 
         from ..uvw_tiling.reorder import reorder_pass1, reorder_pass2
 
+        def _marker(index: int) -> Path:
+            return outdir / f"host{index}.pass1.{args.run_id}.done"
+
+        # A marker left by a previous launch with the same run id can
+        # release the barrier before the other hosts finish pass 1
+        # (whose interval files pass 2 deletes). Each host can safely
+        # clear only its OWN stale marker; distinct run ids protect
+        # against the rest.
+        _marker(args.host_index).unlink(missing_ok=True)
+
         with recorder.step("reorder_pass1"):
             reorder_pass1(
                 reader,
@@ -130,12 +152,15 @@ def run_program(cli_args: list) -> None:
                 num_hosts=args.num_hosts,
                 host_index=args.host_index,
             )
-            (outdir / f"host{args.host_index}.pass1.done").touch()
+            _marker(args.host_index).touch()
 
         with recorder.step("pass1_barrier"):
             deadline = time.time() + 86400
             while time.time() < deadline:
-                done = len(list(outdir.glob("host*.pass1.done")))
+                done = sum(
+                    _marker(index).exists()
+                    for index in range(args.num_hosts)
+                )
                 if done >= args.num_hosts:
                     break
                 time.sleep(2.0)

@@ -72,9 +72,15 @@ class ImagingWeighter:
         w = np.asarray(weights, np.float64).ravel()
         density = np.zeros((self.num_pixels, self.num_pixels))
         np.add.at(density, (iu, iv), w)
+        # The mirror of cell round(u/cell) + half is round(-u/cell) +
+        # half = num_pixels - iu (for even num_pixels), NOT
+        # num_pixels - 1 - iu, which lands one cell off.
         np.add.at(
             density,
-            (self.num_pixels - 1 - iu, self.num_pixels - 1 - iv),
+            (
+                np.clip(self.num_pixels - iu, 0, self.num_pixels - 1),
+                np.clip(self.num_pixels - iv, 0, self.num_pixels - 1),
+            ),
             w,
         )
         self.density = density

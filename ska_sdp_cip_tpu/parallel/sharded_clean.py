@@ -37,6 +37,8 @@ def sharded_major_cycle_clean(
     freq_chunks: int | None = None,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
+    weighting: str = "natural",
+    robust: float = 0.0,
     num_major: int = 3,
     gain: float = 0.1,
     minor_iter: int = 100,
@@ -44,8 +46,10 @@ def sharded_major_cycle_clean(
 ) -> tuple:
     """
     CLEAN a dataset over a device mesh. Returns
-    ``(model, residual_image)`` as numpy arrays; numerically matches
-    the single-device ``models.major_cycle_clean`` to gridder accuracy.
+    ``(model, residual_image, psf)`` as numpy arrays; numerically
+    matches the single-device ``models.major_cycle_clean`` to gridder
+    accuracy. The PSF comes from the already-staged sharded program so
+    callers never build a separate single-device operator for it.
     """
     from contextlib import nullcontext
 
@@ -62,6 +66,8 @@ def sharded_major_cycle_clean(
         freq_chunks=freq_chunks,
         epsilon=epsilon,
         do_wstacking=do_wstacking,
+        weighting=weighting,
+        robust=robust,
         step=step,
     )
     axis_name = staging.axis_name
@@ -101,15 +107,17 @@ def sharded_major_cycle_clean(
             / total_weight
         )
 
-    def cycle_fn(arrays, vre, vim, wgt, model, psf):
+    def cycle_fn(arrays, vre, vim, wgt, model, psf, residual):
+        # One predict+invert round trip per cycle: the minor cycle
+        # consumes the residual carried from the previous cycle (the
+        # dirty image initially) and only the post-update residual is
+        # recomputed — matching the single-device solver's return
+        # semantics (models/clean.py) at half the gridding cost.
         arrays = unstack(arrays)
-        residual = residual_of(arrays, vre[0], vim[0], wgt[0], model)
         delta, _ = hogbom_clean(
             residual, psf, gain=gain, max_iter=minor_iter
         )
         model = model + delta
-        # Residual at the UPDATED model, matching the single-device
-        # solver's return semantics (models/clean.py).
         return model, residual_of(arrays, vre[0], vim[0], wgt[0], model)
 
     psf_spmd = jax.jit(
@@ -117,6 +125,20 @@ def sharded_major_cycle_clean(
             psf_fn,
             mesh=staging.mesh,
             in_specs=(staging.in_specs(), P(axis_name)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    dirty_spmd = jax.jit(
+        jax.shard_map(
+            dirty_fn,
+            mesh=staging.mesh,
+            in_specs=(
+                staging.in_specs(),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+            ),
             out_specs=P(),
             check_vma=False,
         )
@@ -132,6 +154,7 @@ def sharded_major_cycle_clean(
                 P(axis_name),
                 P(),
                 P(),
+                P(),
             ),
             out_specs=(P(), P()),
             check_vma=False,
@@ -140,9 +163,15 @@ def sharded_major_cycle_clean(
 
     with step("psf"):
         psf = psf_spmd(staging.stacked, staging.weights)
+    with step("dirty"):
+        residual = dirty_spmd(
+            staging.stacked,
+            staging.vis_re,
+            staging.vis_im,
+            staging.weights,
+        )
 
     model = jnp.zeros((num_pixels, num_pixels), jnp.float32)
-    residual = None
     for _ in range(num_major):
         with step("major_cycle"):
             model, residual = cycle_spmd(
@@ -152,5 +181,6 @@ def sharded_major_cycle_clean(
                 staging.weights,
                 model,
                 psf,
+                residual,
             )
-    return np.asarray(model), np.asarray(residual)
+    return np.asarray(model), np.asarray(residual), np.asarray(psf)

@@ -15,10 +15,23 @@ does for pass 2.
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 from typing import Optional
+
+
+def _pool(max_workers: Optional[int]) -> ProcessPoolExecutor:
+    """
+    Process pool with the *spawn* start method: the default fork is
+    unsafe after JAX initialization (multithreaded parent) and emits
+    deadlock warnings; spawn children re-import cleanly.
+    """
+    return ProcessPoolExecutor(
+        max_workers=max_workers,
+        mp_context=multiprocessing.get_context("spawn"),
+    )
 
 from ..io.visibility_dataset import VisibilityReader
 from .tile import Tile, rechunk_tiles_on_disk
@@ -91,7 +104,15 @@ def reorder_pass1(
     touched.
     """
     if num_time_intervals is None:
-        num_time_intervals = max(2 * (max_workers or os.cpu_count()), 2)
+        if num_hosts > 1:
+            # Must be identical on every host or the per-host interval
+            # stride stops being a partition of the rows; derive from
+            # dataset properties only (never local core counts).
+            num_time_intervals = max(2 * num_hosts, 2)
+        else:
+            num_time_intervals = max(
+                2 * (max_workers or os.cpu_count()), 2
+            )
     num_time_intervals = min(num_time_intervals, reader.num_data_rows)
 
     outdir = Path(outdir).resolve()
@@ -105,7 +126,7 @@ def reorder_pass1(
     ]
 
     tile_coords_set: set[TileCoords] = set()
-    with ProcessPoolExecutor(max_workers=max_workers) as pool:
+    with _pool(max_workers) as pool:
         for coords_list in pool.map(
             _reorder_interval_task,
             [
@@ -157,7 +178,7 @@ def reorder_pass2(
         for coords in coords_set
         if _owner(coords) == host_index
     )
-    with ProcessPoolExecutor(max_workers=max_workers) as pool:
+    with _pool(max_workers) as pool:
         output_lists = pool.map(
             _rechunk_task,
             [

@@ -30,7 +30,7 @@ def test_sharded_clean_matches_local(dataset_path):
     reader = VisibilityReader(dataset_path)
     kwargs = dict(num_major=2, gain=0.3, minor_iter=6)
 
-    model_sharded, residual_sharded = sharded_major_cycle_clean(
+    model_sharded, residual_sharded, _psf = sharded_major_cycle_clean(
         reader,
         NUM_PIXELS,
         PIXEL_SIZE_ASEC,
@@ -70,7 +70,7 @@ def test_sharded_clean_deep_aggregate(dataset_path):
     reader = VisibilityReader(dataset_path)
     kwargs = dict(num_major=2, gain=0.2, minor_iter=25)
 
-    model_s, residual_s = sharded_major_cycle_clean(
+    model_s, residual_s, _psf = sharded_major_cycle_clean(
         reader,
         NUM_PIXELS,
         PIXEL_SIZE_ASEC,
