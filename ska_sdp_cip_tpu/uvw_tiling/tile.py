@@ -205,6 +205,35 @@ def _tile_slice(tile: Tile, r0: int, r1: int, vis_offsets) -> Tile:
     )
 
 
+def iter_rechunked_tiles(
+    tile_paths: Iterable[Path], max_vis_per_chunk: int
+) -> Iterable[Tile]:
+    """
+    Lazily yield tiles of at most ``max_vis_per_chunk`` visibilities
+    covering the concatenation of same-coordinate tile files, splitting
+    only at row-slice boundaries. Memory stays bounded by roughly one
+    chunk plus one input file; trailing data is merged into a final
+    (possibly short) tile.
+    """
+    held: list[Tile] = []
+    held_vis = 0
+    for path in tile_paths:
+        tile = Tile.load_npz(path)
+        held.append(tile)
+        held_vis += tile.num_visibilities
+        if held_vis <= max_vis_per_chunk:
+            continue
+        merged = concatenate_tiles(held) if len(held) > 1 else held[0]
+        pieces = split_tile(merged, max_vis_per_chunk)
+        yield from pieces[:-1]
+        held = [pieces[-1]]
+        held_vis = pieces[-1].num_visibilities
+    if held:
+        merged = concatenate_tiles(held) if len(held) > 1 else held[0]
+        if merged.num_visibilities:
+            yield merged
+
+
 def rechunk_tiles_on_disk(
     tile_paths: Iterable[Path],
     outdir: Path,
@@ -213,34 +242,14 @@ def rechunk_tiles_on_disk(
     max_vis_per_chunk: int = 5_000_000,
 ) -> list:
     """
-    Stream same-coordinate tile files into output chunks of at most
-    ``max_vis_per_chunk`` visibilities, named
-    ``{basename}_chunk{NNN:03d}.npz`` — identical naming to the
-    reference (reference: tile.py:214-265, reorder.py:186-192).
+    Write the re-chunked stream of :func:`iter_rechunked_tiles` to
+    ``{basename}_chunk{NNN:03d}.npz`` files — the reference's tile
+    chunk naming (reference: reorder.py:186-192).
     """
-    queue: list[Tile] = []
-    result: list[Path] = []
-    num_written = 0
-
-    def _write(tile: Tile) -> None:
-        nonlocal num_written
-        filepath = outdir / f"{basename}_chunk{num_written:03d}.npz"
-        tile.save_npz(filepath)
-        result.append(filepath)
-        num_written += 1
-
-    for path in tile_paths:
-        queue.append(Tile.load_npz(path))
-        nvis_queued = sum(t.num_visibilities for t in queue)
-        if nvis_queued > max_vis_per_chunk:
-            merged = concatenate_tiles(queue) if len(queue) > 1 else queue[0]
-            chunks = split_tile(merged, max_vis_per_chunk)
-            for chunk in chunks[:-1]:
-                _write(chunk)
-            queue = [chunks[-1]]
-
-    if queue:
-        merged = concatenate_tiles(queue) if len(queue) > 1 else queue[0]
-        if merged.num_visibilities:
-            _write(merged)
-    return result
+    paths = []
+    chunks = iter_rechunked_tiles(tile_paths, max_vis_per_chunk)
+    for index, chunk in enumerate(chunks):
+        path = outdir / f"{basename}_chunk{index:03d}.npz"
+        chunk.save_npz(path)
+        paths.append(path)
+    return paths

@@ -40,7 +40,7 @@ def test_sharded_matches_local(reader):
         rtol=TOLERANCE,
     )
     # Tracing recorded every pipeline stage
-    names = [t.name for t in recorder.tasks]
+    names = [t["name"] for t in recorder.tasks]
     assert names == [
         "load_shards",
         "plan_shards",

@@ -1,15 +1,21 @@
 """
-Task metrics parsing and JSON export — ported semantics from
-reference: tests/test_task_metrics.py:10-142 (same schema, plus the
-TaskRecorder replacement for the dask task stream).
+Task metrics records and JSON export — same schema/semantics the
+reference tests pin down (reference: tests/test_task_metrics.py:10-142),
+plus the TaskRecorder replacement for the dask task stream.
 """
 
 import json
 
 import pytest
 
-from ska_sdp_cip_tpu.utils.task_metrics import Task, TaskMetrics, TaskRecorder
-
+from ska_sdp_cip_tpu.utils.task_metrics import (
+    SCHEMA_KEYS,
+    TaskRecorder,
+    record_from_spans,
+    save_tasks_json,
+    task_record,
+    tasks_to_json,
+)
 
 TASK_STREAM_DATA = [
     {
@@ -32,31 +38,28 @@ TASK_STREAM_DATA = [
 ]
 
 
-def test_task_from_spans_duration_covers_transfer_and_compute():
+def test_record_from_spans_duration_covers_transfer_and_compute():
     """
     start = min over spans, stop = max over spans — transfer time counts
     toward duration (reference: task_metrics.py:67-86,
     tests/test_task_metrics.py:60-76).
     """
-    task = Task.from_spans(TASK_STREAM_DATA[1])
-    assert task.start == 104.0
-    assert task.stop == 110.0
-    assert task.duration == 6.0
-    assert task.name == "grid_chunk"
-    assert task.worker == "tcp://127.0.0.1:40001"
+    record = record_from_spans(TASK_STREAM_DATA[1])
+    assert record["start"] == 104.0
+    assert record["stop"] == 110.0
+    assert record["duration"] == 6.0
+    assert record["name"] == "grid_chunk"
+    assert record["worker"] == "tcp://127.0.0.1:40001"
 
 
-def test_task_name_strips_trailing_hash():
-    task = Task(
-        key="a-b-c-123abc", worker="w", status="OK", start=0.0, stop=1.0
-    )
-    assert task.name == "a-b-c"
+def test_record_name_strips_trailing_hash():
+    record = task_record("a-b-c-123abc", "w", "OK", 0.0, 1.0)
+    assert record["name"] == "a-b-c"
 
 
-def test_task_metrics_json_schema():
-    metrics = TaskMetrics(TASK_STREAM_DATA)
-    assert len(metrics) == 2
-    data = json.loads(metrics.to_json())
+def test_tasks_to_json_schema():
+    data = json.loads(tasks_to_json(TASK_STREAM_DATA))
+    assert len(data) == 2
     assert data[0] == {
         "key": "load_chunk-abc123",
         "worker": "tcp://127.0.0.1:40000",
@@ -68,21 +71,13 @@ def test_task_metrics_json_schema():
     }
 
 
-def test_task_metrics_save_json_pandas_loadable(tmp_path):
+def test_save_tasks_json_pandas_loadable(tmp_path):
     import pandas as pd
 
     path = tmp_path / "task-list.json"
-    TaskMetrics(TASK_STREAM_DATA).save_json(path)
+    save_tasks_json(TASK_STREAM_DATA, path)
     frame = pd.read_json(path)
-    assert list(frame.columns) == [
-        "key",
-        "worker",
-        "status",
-        "start",
-        "stop",
-        "name",
-        "duration",
-    ]
+    assert list(frame.columns) == list(SCHEMA_KEYS)
     assert len(frame) == 2
 
 
@@ -97,10 +92,10 @@ def test_task_recorder_records_steps(tmp_path):
             raise RuntimeError("expected")
 
     tasks = recorder.tasks
-    assert [t.name for t in tasks] == ["load", "grid", "boom"]
-    assert [t.status for t in tasks] == ["OK", "OK", "error"]
-    assert all(t.worker == "test-worker" for t in tasks)
-    assert all(t.duration >= 0 for t in tasks)
+    assert [t["name"] for t in tasks] == ["load", "grid", "boom"]
+    assert [t["status"] for t in tasks] == ["OK", "OK", "error"]
+    assert all(t["worker"] == "test-worker" for t in tasks)
+    assert all(t["duration"] >= 0 for t in tasks)
 
     path = tmp_path / "task-list.json"
     recorder.save_json(path)
