@@ -58,19 +58,24 @@ class ImagingWeighter:
         iv = np.clip(iv, 0, self.num_pixels - 1)
         return iu, iv
 
-    def fit(
-        self, uvw: np.ndarray, freqs: np.ndarray, weights: np.ndarray
-    ) -> "ImagingWeighter":
+    def accumulate_density(
+        self,
+        uvw: np.ndarray,
+        freqs: np.ndarray,
+        weights: np.ndarray,
+        density: np.ndarray | None = None,
+    ) -> np.ndarray:
         """
-        Accumulate the global weight density grid. Conjugate symmetry:
-        each sample also counts at its mirrored cell, so mirrored
-        baselines see the same density.
+        Add one chunk's weight density into ``density`` (allocated when
+        None) and return it. Conjugate symmetry: each sample also
+        counts at its mirrored cell, so mirrored baselines see the same
+        density. Density grids from different chunks/processes add, so
+        a distributed fit is per-shard accumulation plus one sum.
         """
-        if self.scheme == "natural":
-            return self
+        if density is None:
+            density = np.zeros((self.num_pixels, self.num_pixels))
         iu, iv = self._cells(uvw, freqs)
         w = np.asarray(weights, np.float64).ravel()
-        density = np.zeros((self.num_pixels, self.num_pixels))
         np.add.at(density, (iu, iv), w)
         # The mirror of cell round(u/cell) + half is round(-u/cell) +
         # half = num_pixels - iu (for even num_pixels), NOT
@@ -83,6 +88,10 @@ class ImagingWeighter:
             ),
             w,
         )
+        return density
+
+    def finalize(self, density: np.ndarray) -> "ImagingWeighter":
+        """Install the (fully reduced) density grid and derived terms."""
         self.density = density
         if self.scheme == "robust":
             total_w = float(density.sum())
@@ -91,6 +100,16 @@ class ImagingWeighter:
                 mean_density, 1e-30
             )
         return self
+
+    def fit(
+        self, uvw: np.ndarray, freqs: np.ndarray, weights: np.ndarray
+    ) -> "ImagingWeighter":
+        """Single-pass fit over one whole dataset."""
+        if self.scheme == "natural":
+            return self
+        return self.finalize(
+            self.accumulate_density(uvw, freqs, weights)
+        )
 
     def apply(
         self, uvw: np.ndarray, freqs: np.ndarray, weights: np.ndarray

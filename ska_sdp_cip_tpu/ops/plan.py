@@ -303,13 +303,30 @@ def build_step_tables(
     }
 
 
-def pad_plans_uniform(plans: list) -> list:
+def plan_shape_maxima(plans: list) -> dict:
+    """
+    The data-dependent static shapes of a plan list, as the maxima a
+    group of shards must be padded to. Multi-host staging allgathers
+    these (they are a handful of ints) so every process pads its LOCAL
+    shards to the same global program shape without loading remote
+    data.
+    """
+    return {
+        "num_blocks": max(p.num_blocks for p in plans),
+        "max_active": max(p.max_active for p in plans),
+        "nplanes": max(p.nplanes for p in plans),
+        "max_steps": max(p.step_val.shape[1] for p in plans),
+    }
+
+
+def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
     """
     Pad a list of per-shard plans to common static shapes (blocks,
     active table, planes, visibility slots) so a single jitted SPMD
     program serves every shard under ``shard_map``. Geometry fields
     (grid size, support, dw, ...) must already agree — they derive from
-    the imaging config alone.
+    the imaging config alone. ``maxima`` overrides the padding targets
+    (see :func:`plan_shape_maxima`); it must dominate the local shapes.
     """
     import dataclasses
 
@@ -334,10 +351,18 @@ def pad_plans_uniform(plans: list) -> list:
             "from the same imaging configuration"
         )
 
-    num_blocks = max(p.num_blocks for p in plans)
-    max_active = max(p.max_active for p in plans)
-    nplanes = max(p.nplanes for p in plans)
-    max_steps = max(p.step_val.shape[1] for p in plans)
+    local = plan_shape_maxima(plans)
+    if maxima is None:
+        maxima = local
+    elif any(maxima[key] < local[key] for key in local):
+        raise ValueError(
+            f"padding targets {maxima} do not dominate local plan "
+            f"shapes {local}"
+        )
+    num_blocks = maxima["num_blocks"]
+    max_active = maxima["max_active"]
+    nplanes = maxima["nplanes"]
+    max_steps = maxima["max_steps"]
     block = plans[0].block
     num_strips = plans[0].num_strips
     num_vis = num_blocks * block

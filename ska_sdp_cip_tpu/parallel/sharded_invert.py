@@ -40,6 +40,46 @@ def _is_replicated(key: str) -> bool:
     return key in _REPLICATED_KEYS or key.startswith("fft_")
 
 
+def addressable_shard_indices(mesh) -> list:
+    """
+    Shard indices (positions in ``mesh.devices.flat`` order, which is
+    how ``P(axis)`` lays out axis 0 of a stacked array) whose device
+    belongs to this process. Multi-host staging loads ONLY these — the
+    per-worker data locality the reference gets from dask scheduling
+    (reference: invert.py:256-261).
+    """
+    import jax
+
+    process_index = jax.process_index()
+    return [
+        index
+        for index, device in enumerate(mesh.devices.flat)
+        if device.process_index == process_index
+    ]
+
+
+def _allgather_max(values: np.ndarray) -> np.ndarray:
+    """Element-wise max of a small host array across processes."""
+    import jax
+
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.max(multihost_utils.process_allgather(values), axis=0)
+
+
+def _allgather_sum(values: np.ndarray) -> np.ndarray:
+    """Element-wise sum of a host array across processes."""
+    import jax
+
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.sum(multihost_utils.process_allgather(values), axis=0)
+
+
 def shard_chunk_counts(
     num_devices: int, num_channels: int, row_chunks, freq_chunks
 ) -> tuple[int, int]:
@@ -133,24 +173,41 @@ def stage_sharded_inputs(
     )
     pixel_size_lm = pixel_size_lm_from_asec(pixel_size_asec)
 
-    with step("load_shards"):
-        shards = [
-            StokesIGridderInput.from_reader(chunk)
-            for chunk in reader.partition(row_chunks, freq_chunks)
-        ]
-        if weighting != "natural":
-            # Density fit is global so shards see exactly the weights
-            # a single-device run would (models/weighting.py).
-            from ..models.weighting import fit_weighter_for_reader
+    # Every process loads, weights, and plans ONLY the shards its own
+    # devices will hold (the reference's per-worker chunk loading,
+    # invert.py:256-261); cross-process agreement comes from small
+    # allgathers (plan shape maxima, weight density, total weight).
+    local_ids = addressable_shard_indices(mesh)
+    chunk_readers = reader.partition(row_chunks, freq_chunks)
 
-            weighter = fit_weighter_for_reader(
-                reader,
+    with step("load_shards"):
+        shards = {
+            index: StokesIGridderInput.from_reader(chunk_readers[index])
+            for index in local_ids
+        }
+        if weighting != "natural":
+            # Global density fit from per-shard histograms + one sum,
+            # so shards see exactly the weights a single-device run
+            # would (models/weighting.py) without any host reading the
+            # full dataset.
+            from ..models.weighting import ImagingWeighter
+
+            weighter = ImagingWeighter(
                 num_pixels,
                 pixel_size_lm,
                 scheme=weighting,
                 robust=robust,
             )
-            for shard in shards:
+            density = np.zeros((num_pixels, num_pixels))
+            for shard in shards.values():
+                density = weighter.accumulate_density(
+                    shard.uvw,
+                    shard.channel_frequencies,
+                    shard.effective_weights(),
+                    density,
+                )
+            weighter.finalize(_allgather_sum(density))
+            for shard in shards.values():
                 shard.weights = weighter.apply(
                     shard.uvw,
                     shard.channel_frequencies,
@@ -159,8 +216,10 @@ def stage_sharded_inputs(
                 shard.flags = np.zeros_like(shard.flags)
 
     with step("plan_shards"):
-        plans = [
-            make_plan(
+        from ..ops.plan import plan_shape_maxima
+
+        local_plans = {
+            index: make_plan(
                 shard.uvw,
                 shard.channel_frequencies,
                 num_pixels,
@@ -168,70 +227,108 @@ def stage_sharded_inputs(
                 epsilon=epsilon,
                 do_wstacking=do_wstacking,
             )
-            for shard in shards
-        ]
-        plans = pad_plans_uniform(plans)
+            for index, shard in shards.items()
+        }
+        local_maxima = plan_shape_maxima(list(local_plans.values()))
+        keys = sorted(local_maxima)
+        gathered = _allgather_max(
+            np.asarray([local_maxima[key] for key in keys], np.int64)
+        )
+        maxima = dict(zip(keys, (int(v) for v in gathered)))
+        padded = pad_plans_uniform(list(local_plans.values()), maxima)
+        plans = dict(zip(local_plans, padded))
 
     # Stage inputs as globally-sharded arrays:
-    # jax.make_array_from_callback places each process's addressable
-    # shards only, so the same code path serves single-host meshes and
-    # multi-host slices.
+    # jax.make_array_from_callback asks each process for its
+    # addressable shards only, so the callbacks never touch (and we
+    # never built) remote shards' data.
     with step("stage_shards"):
         sharded = NamedSharding(mesh, P(axis_name))
         replicated = NamedSharding(mesh, P())
+        first = local_ids[0]
 
-        def _global(stacked_np, shard_it: bool):
-            stacked_np = np.asarray(stacked_np)
+        def _global_replicated(value):
+            value = np.asarray(value)
             return jax.make_array_from_callback(
-                stacked_np.shape,
-                sharded if shard_it else replicated,
-                lambda idx: stacked_np[idx],
+                value.shape, replicated, lambda idx: value[idx]
             )
 
-        host_arrays = [plan_host_arrays(plan) for plan in plans]
+        def _global_sharded(per_shard: dict, tail_shape, dtype):
+            shape = (num_devices,) + tuple(tail_shape)
+
+            def callback(idx):
+                rows = range(*idx[0].indices(num_devices))
+                # A request outside this process's shards is a
+                # sharding bug; KeyError loudly.
+                data = np.stack([per_shard[row] for row in rows])
+                return data[(slice(None),) + tuple(idx[1:])]
+
+            return jax.make_array_from_callback(
+                shape, sharded, callback
+            )
+
+        host_arrays = {
+            index: plan_host_arrays(plan)
+            for index, plan in plans.items()
+        }
         # Geometry maps are computed on device (host quadrature is
         # pathologically slow at production sizes) and pulled back once
         # so they can be re-placed as mesh-replicated globals.
         geometry = {
             key: np.asarray(value)
-            for key, value in compute_geometry_maps(plans[0]).items()
+            for key, value in compute_geometry_maps(
+                plans[first]
+            ).items()
         }
         stacked = {}
-        for key in host_arrays[0]:
+        for key, example in host_arrays[first].items():
             if _is_replicated(key):
-                stacked[key] = _global(host_arrays[0][key], False)
+                stacked[key] = _global_replicated(example)
             else:
-                stacked[key] = _global(
-                    np.stack([arrays[key] for arrays in host_arrays]),
-                    True,
+                stacked[key] = _global_sharded(
+                    {
+                        index: arrays[key]
+                        for index, arrays in host_arrays.items()
+                    },
+                    example.shape,
+                    example.dtype,
                 )
         for key, value in geometry.items():
-            stacked[key] = _global(value, False)
+            stacked[key] = _global_replicated(value)
 
-        num_vis = plans[0].num_vis
+        num_vis = plans[first].num_vis
         # Split (re, im) float32: the TPU compute path is complex-free.
-        vis_re = np.zeros((num_devices, num_vis), np.float32)
-        vis_im = np.zeros((num_devices, num_vis), np.float32)
-        weights = np.zeros((num_devices, num_vis), np.float32)
-        total_weight = 0.0
-        for i, shard in enumerate(shards):
+        vis_re = {}
+        vis_im = {}
+        weights = {}
+        local_weight = 0.0
+        for index, shard in shards.items():
             effective = shard.effective_weights().ravel().astype(
                 np.float32
             )
             v = shard.visibilities.ravel()
-            vis_re[i, : len(v)] = v.real
-            vis_im[i, : len(v)] = v.imag
-            weights[i, : len(effective)] = effective
-            total_weight += float(effective.sum())
+            re = np.zeros(num_vis, np.float32)
+            im = np.zeros(num_vis, np.float32)
+            wgt = np.zeros(num_vis, np.float32)
+            re[: len(v)] = v.real
+            im[: len(v)] = v.imag
+            wgt[: len(effective)] = effective
+            vis_re[index] = re
+            vis_im[index] = im
+            weights[index] = wgt
+            local_weight += float(effective.sum())
+        total_weight = float(
+            _allgather_sum(np.asarray([local_weight]))[0]
+        )
 
         return ShardedStaging(
             mesh,
             axis_name,
-            plans,
+            list(plans.values()),
             stacked,
-            _global(vis_re, True),
-            _global(vis_im, True),
-            _global(weights, True),
+            _global_sharded(vis_re, (num_vis,), np.float32),
+            _global_sharded(vis_im, (num_vis,), np.float32),
+            _global_sharded(weights, (num_vis,), np.float32),
             total_weight,
         )
 

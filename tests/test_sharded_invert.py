@@ -69,3 +69,69 @@ def test_sharded_invalid_chunking(reader):
             row_chunks=3,
             freq_chunks=4,
         )
+
+
+def test_addressable_shard_indices_filters_by_process():
+    from types import SimpleNamespace
+
+    import numpy as _np
+
+    from ska_sdp_cip_tpu.parallel.sharded_invert import (
+        addressable_shard_indices,
+    )
+
+    devices = _np.array(
+        [
+            SimpleNamespace(process_index=0),
+            SimpleNamespace(process_index=1),
+            SimpleNamespace(process_index=0),
+            SimpleNamespace(process_index=1),
+        ]
+    )
+    mesh = SimpleNamespace(devices=devices)
+    # jax.process_index() is 0 in tests
+    assert addressable_shard_indices(mesh) == [0, 2]
+
+
+def test_staging_loads_only_local_shards(tmp_path, monkeypatch):
+    """
+    Multi-host locality: each process loads/plans only the shards its
+    devices hold. Simulated by forcing a subset of local ids — only
+    those shards may be read, and requests for remote rows must fail
+    loudly rather than silently loading everything.
+    """
+    import pytest
+
+    from ska_sdp_cip_tpu import parallel
+    from ska_sdp_cip_tpu.invert import StokesIGridderInput
+    from ska_sdp_cip_tpu.io.synth import make_synthetic_dataset
+    from ska_sdp_cip_tpu.io.visibility_dataset import VisibilityReader
+    from ska_sdp_cip_tpu.parallel import sharded_invert as si
+
+    path = make_synthetic_dataset(
+        str(tmp_path / "loc.vz"), num_times=2, num_antennas=8, seed=11
+    )
+    reader = VisibilityReader(path)
+
+    loaded = []
+    original = StokesIGridderInput.from_reader.__func__
+
+    def recording(cls, chunk):
+        loaded.append((chunk.row_start, chunk.channel_start))
+        return original(cls, chunk)
+
+    monkeypatch.setattr(
+        StokesIGridderInput,
+        "from_reader",
+        classmethod(recording),
+    )
+    monkeypatch.setattr(
+        si, "addressable_shard_indices", lambda mesh: [0, 1]
+    )
+
+    mesh = si.make_device_mesh(4)
+    # The single-process test mesh addresses all 4 shards, so staging
+    # must fail loudly when rows 2-3 (never loaded) are requested.
+    with pytest.raises(KeyError):
+        si.stage_sharded_inputs(reader, 64, 30.0, mesh=mesh)
+    assert len(loaded) == 2
