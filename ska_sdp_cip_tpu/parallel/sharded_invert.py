@@ -216,8 +216,6 @@ def stage_sharded_inputs(
                 shard.flags = np.zeros_like(shard.flags)
 
     with step("plan_shards"):
-        from ..ops.plan import plan_shape_maxima
-
         local_plans = {
             index: make_plan(
                 shard.uvw,
@@ -229,108 +227,130 @@ def stage_sharded_inputs(
             )
             for index, shard in shards.items()
         }
-        local_maxima = plan_shape_maxima(list(local_plans.values()))
-        keys = sorted(local_maxima)
-        gathered = _allgather_max(
-            np.asarray([local_maxima[key] for key in keys], np.int64)
-        )
-        maxima = dict(zip(keys, (int(v) for v in gathered)))
-        padded = pad_plans_uniform(list(local_plans.values()), maxima)
-        plans = dict(zip(local_plans, padded))
+
+    with step("stage_shards"):
+        samples = {
+            index: (
+                shard.visibilities.ravel(),
+                shard.effective_weights().ravel(),
+            )
+            for index, shard in shards.items()
+        }
+        return stage_planned_shards(mesh, local_plans, samples)
+
+
+def stage_planned_shards(
+    mesh: Mesh, local_plans: dict, samples: dict
+) -> ShardedStaging:
+    """
+    Stage locally-planned shards onto the mesh: pad plans to globally
+    agreed static shapes (one small allgather), build the stacked plan
+    arrays and split-complex weighted visibilities as globally-sharded
+    arrays whose callbacks serve only this process's shards, and
+    allgather the total weight. ``local_plans`` / ``samples`` map shard
+    index (position in ``mesh.devices.flat``) to this process's plan
+    and its ``(complex visibilities, effective weights)`` samples.
+    """
+    from ..ops.plan import plan_shape_maxima
+
+    (axis_name,) = mesh.axis_names
+    num_devices = mesh.devices.size
+    local_ids = sorted(local_plans)
+    first = local_ids[0]
+
+    local_maxima = plan_shape_maxima(list(local_plans.values()))
+    keys = sorted(local_maxima)
+    gathered = _allgather_max(
+        np.asarray([local_maxima[key] for key in keys], np.int64)
+    )
+    maxima = dict(zip(keys, (int(v) for v in gathered)))
+    padded = pad_plans_uniform(
+        [local_plans[i] for i in local_ids], maxima
+    )
+    plans = dict(zip(local_ids, padded))
 
     # Stage inputs as globally-sharded arrays:
     # jax.make_array_from_callback asks each process for its
     # addressable shards only, so the callbacks never touch (and we
     # never built) remote shards' data.
-    with step("stage_shards"):
-        sharded = NamedSharding(mesh, P(axis_name))
-        replicated = NamedSharding(mesh, P())
-        first = local_ids[0]
+    sharded = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
 
-        def _global_replicated(value):
-            value = np.asarray(value)
-            return jax.make_array_from_callback(
-                value.shape, replicated, lambda idx: value[idx]
-            )
-
-        def _global_sharded(per_shard: dict, tail_shape, dtype):
-            shape = (num_devices,) + tuple(tail_shape)
-
-            def callback(idx):
-                rows = range(*idx[0].indices(num_devices))
-                # A request outside this process's shards is a
-                # sharding bug; KeyError loudly.
-                data = np.stack([per_shard[row] for row in rows])
-                return data[(slice(None),) + tuple(idx[1:])]
-
-            return jax.make_array_from_callback(
-                shape, sharded, callback
-            )
-
-        host_arrays = {
-            index: plan_host_arrays(plan)
-            for index, plan in plans.items()
-        }
-        # Geometry maps are computed on device (host quadrature is
-        # pathologically slow at production sizes) and pulled back once
-        # so they can be re-placed as mesh-replicated globals.
-        geometry = {
-            key: np.asarray(value)
-            for key, value in compute_geometry_maps(
-                plans[first]
-            ).items()
-        }
-        stacked = {}
-        for key, example in host_arrays[first].items():
-            if _is_replicated(key):
-                stacked[key] = _global_replicated(example)
-            else:
-                stacked[key] = _global_sharded(
-                    {
-                        index: arrays[key]
-                        for index, arrays in host_arrays.items()
-                    },
-                    example.shape,
-                    example.dtype,
-                )
-        for key, value in geometry.items():
-            stacked[key] = _global_replicated(value)
-
-        num_vis = plans[first].num_vis
-        # Split (re, im) float32: the TPU compute path is complex-free.
-        vis_re = {}
-        vis_im = {}
-        weights = {}
-        local_weight = 0.0
-        for index, shard in shards.items():
-            effective = shard.effective_weights().ravel().astype(
-                np.float32
-            )
-            v = shard.visibilities.ravel()
-            re = np.zeros(num_vis, np.float32)
-            im = np.zeros(num_vis, np.float32)
-            wgt = np.zeros(num_vis, np.float32)
-            re[: len(v)] = v.real
-            im[: len(v)] = v.imag
-            wgt[: len(effective)] = effective
-            vis_re[index] = re
-            vis_im[index] = im
-            weights[index] = wgt
-            local_weight += float(effective.sum())
-        total_weight = float(
-            _allgather_sum(np.asarray([local_weight]))[0]
+    def _global_replicated(value):
+        value = np.asarray(value)
+        return jax.make_array_from_callback(
+            value.shape, replicated, lambda idx: value[idx]
         )
 
-        return ShardedStaging(
-            mesh,
-            axis_name,
-            list(plans.values()),
-            stacked,
-            _global_sharded(vis_re, (num_vis,), np.float32),
-            _global_sharded(vis_im, (num_vis,), np.float32),
-            _global_sharded(weights, (num_vis,), np.float32),
-            total_weight,
-        )
+    def _global_sharded(per_shard: dict, tail_shape, dtype):
+        shape = (num_devices,) + tuple(tail_shape)
+
+        def callback(idx):
+            rows = range(*idx[0].indices(num_devices))
+            # A request outside this process's shards is a
+            # sharding bug; KeyError loudly.
+            data = np.stack([per_shard[row] for row in rows])
+            return data[(slice(None),) + tuple(idx[1:])]
+
+        return jax.make_array_from_callback(shape, sharded, callback)
+
+    host_arrays = {
+        index: plan_host_arrays(plan) for index, plan in plans.items()
+    }
+    # Geometry maps are computed on device (host quadrature is
+    # pathologically slow at production sizes) and pulled back once
+    # so they can be re-placed as mesh-replicated globals.
+    geometry = {
+        key: np.asarray(value)
+        for key, value in compute_geometry_maps(plans[first]).items()
+    }
+    stacked = {}
+    for key, example in host_arrays[first].items():
+        if _is_replicated(key):
+            stacked[key] = _global_replicated(example)
+        else:
+            stacked[key] = _global_sharded(
+                {
+                    index: arrays[key]
+                    for index, arrays in host_arrays.items()
+                },
+                example.shape,
+                example.dtype,
+            )
+    for key, value in geometry.items():
+        stacked[key] = _global_replicated(value)
+
+    num_vis = plans[first].num_vis
+    # Split (re, im) float32: the TPU compute path is complex-free.
+    vis_re = {}
+    vis_im = {}
+    weights = {}
+    local_weight = 0.0
+    for index, (vis, effective) in samples.items():
+        effective = np.asarray(effective).ravel().astype(np.float32)
+        v = np.asarray(vis).ravel()
+        re = np.zeros(num_vis, np.float32)
+        im = np.zeros(num_vis, np.float32)
+        wgt = np.zeros(num_vis, np.float32)
+        re[: len(v)] = v.real
+        im[: len(v)] = v.imag
+        wgt[: len(effective)] = effective
+        vis_re[index] = re
+        vis_im[index] = im
+        weights[index] = wgt
+        local_weight += float(effective.sum())
+    total_weight = float(_allgather_sum(np.asarray([local_weight]))[0])
+
+    return ShardedStaging(
+        mesh,
+        axis_name,
+        list(plans.values()),
+        stacked,
+        _global_sharded(vis_re, (num_vis,), np.float32),
+        _global_sharded(vis_im, (num_vis,), np.float32),
+        _global_sharded(weights, (num_vis,), np.float32),
+        total_weight,
+    )
 
 
 def sharded_invert_dataset(

@@ -48,3 +48,42 @@ def test_tiled_invert_matches_direct(dataset_path, tmp_path):
         atol=tolerance * np.abs(direct).max() * 10,
         rtol=1e-3,
     )
+
+
+def test_sharded_tiled_invert_matches_dataset(dataset_path, tmp_path):
+    """Tile store -> sharded gridder == dataset invert (VERDICT round-1
+    item 8: the reorder stage feeds the production path)."""
+    from ska_sdp_cip_tpu.parallel.mesh import make_device_mesh
+    from ska_sdp_cip_tpu.uvw_tiling.tiled_invert import (
+        sharded_invert_tile_chunks,
+    )
+
+    reader = VisibilityReader(dataset_path)
+    outdir = tmp_path / "tiles"
+    paths = reorder_by_uvw_tile(
+        reader,
+        (3000.0, 3000.0, 6000.0),
+        outdir,
+        num_time_intervals=3,
+        max_vis_per_chunk=10_000,
+        max_workers=2,
+    )
+
+    tiled = sharded_invert_tile_chunks(
+        paths,
+        reader.channel_frequencies(),
+        NUM_PIXELS,
+        pixel_size_lm_from_asec(PIXEL_SIZE_ASEC),
+        mesh=make_device_mesh(4),
+        epsilon=1e-5,
+    )
+    direct = invert_dataset(
+        reader, NUM_PIXELS, PIXEL_SIZE_ASEC, epsilon=1e-5
+    )
+    tolerance = 1e-5
+    np.testing.assert_allclose(
+        tiled,
+        direct,
+        atol=tolerance * np.abs(direct).max() * 10,
+        rtol=1e-3,
+    )
