@@ -363,18 +363,42 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
             re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
             vis_split = jnp.stack([re, im], axis=0)  # (2, V) lane-major
 
-            def plane_body(image_accum, p):
-                w_p = arrays["plane_w"][p]
-                grid_re, grid_im = grid_plane(
-                    arrays["step_val"][p],
-                    arrays["step_aux"][p],
-                    arrays["first_block"][p][None],
+            NSEG = plan.num_y_segments
+            SY = plan.seg_lanes
+            SEGW = plan.seg_width
+
+            def grid_segment(p, g, w_p):
+                return grid_plane(
+                    arrays["step_val"][p, g],
+                    arrays["step_aux"][p, g],
+                    arrays["first_block"][p, g][None],
                     arrays["block_oy"],
-                    arrays["step_count"][p][None],
+                    arrays["step_count"][p, g][None],
+                    jnp.full((1,), g * SY, jnp.int32),
                     arrays["packed"],
                     vis_split,
                     w_p,
                 )
+
+            def plane_body(image_accum, p):
+                w_p = arrays["plane_w"][p]
+                if NSEG == 1:
+                    grid_re, grid_im = grid_segment(p, 0, w_p)
+                else:
+                    # Wide grids: one kernel call per lane segment,
+                    # seam-added over the patch overhang.
+                    grid_re = jnp.zeros(
+                        (plan.nalloc_x, plan.nalloc_y), jnp.float32
+                    )
+                    grid_im = jnp.zeros_like(grid_re)
+                    for g in range(NSEG):
+                        part_re, part_im = grid_segment(p, g, w_p)
+                        grid_re = grid_re.at[
+                            :, g * SY : g * SY + SEGW
+                        ].add(part_re)
+                        grid_im = grid_im.at[
+                            :, g * SY : g * SY + SEGW
+                        ].add(part_im)
                 grid_re = _fold_wraps(plan, grid_re)
                 grid_im = _fold_wraps(plan, grid_im)
                 img_re, img_im = _fft2_to_image(
@@ -560,27 +584,48 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
 
     if mode.startswith("pallas"):
 
+        NSEG = plan.num_y_segments
+        SY = plan.seg_lanes
+        SEGW = plan.seg_width
+
         @jax.jit
         def predict_pallas(arrays: dict, image):
             img0 = jnp.asarray(image, jnp.float32) * arrays["inv_corr"]
 
-            def plane_body(carry, p):
-                acc = carry
-                w_p = arrays["plane_w"][p]
-                alloc_re, alloc_im = _screened_alloc(arrays, img0, w_p)
-                contrib = degrid_plane(
-                    arrays["step_val"][p],
-                    arrays["step_aux"][p],
-                    arrays["step_aux2"][p],
-                    arrays["first_block"][p][None],
-                    arrays["last_blocks"][p],
+            def degrid_segment(p, g, alloc_re, alloc_im, w_p):
+                return degrid_plane(
+                    arrays["step_val"][p, g],
+                    arrays["step_aux"][p, g],
+                    arrays["step_aux2"][p, g],
+                    arrays["first_block"][p, g][None],
+                    arrays["last_blocks"][p, g],
                     arrays["block_oy"],
-                    arrays["step_count"][p][None],
+                    arrays["step_count"][p, g][None],
+                    jnp.full((1,), g * SY, jnp.int32),
                     arrays["packed"],
                     alloc_re,
                     alloc_im,
                     w_p,
                 )
+
+            def plane_body(carry, p):
+                acc = carry
+                w_p = arrays["plane_w"][p]
+                alloc_re, alloc_im = _screened_alloc(arrays, img0, w_p)
+                if NSEG == 1:
+                    contrib = degrid_segment(
+                        p, 0, alloc_re, alloc_im, w_p
+                    )
+                else:
+                    contrib = jnp.zeros_like(carry)
+                    for g in range(NSEG):
+                        contrib = contrib + degrid_segment(
+                            p,
+                            g,
+                            alloc_re[:, g * SY : g * SY + SEGW],
+                            alloc_im[:, g * SY : g * SY + SEGW],
+                            w_p,
+                        )
                 return acc + contrib, None
 
             acc, _ = lax.scan(

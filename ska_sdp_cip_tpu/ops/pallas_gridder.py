@@ -142,7 +142,7 @@ def _grid_strip_kernel_factory(plan: GridderPlan):
     SX = plan.tile_x
     CARRY = PX - SX
     NS = plan.num_strips
-    NY = plan.nalloc_y
+    NY = plan.seg_width
     wstacking = plan.wstacking
 
     def kernel(
@@ -152,6 +152,7 @@ def _grid_strip_kernel_factory(plan: GridderPlan):
         first_blk,
         blk_oy,
         count,
+        seg_base,
         # inputs
         packed_hbm,
         vis_hbm,
@@ -216,7 +217,7 @@ def _grid_strip_kernel_factory(plan: GridderPlan):
             contract = (((1,), (1,)), ((), ()))
             patch_re = _dot3_bf16(ax * (vre * amp), ay, contract)
             patch_im = _dot3_bf16(ax * (vim * amp), ay, contract)
-            oy = pl.multiple_of(blk_oy[b], 128)
+            oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
             strip_re[sbuf, :, pl.ds(oy, PY)] = (
                 strip_re[sbuf, :, pl.ds(oy, PY)] + patch_re
             )
@@ -293,6 +294,7 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
         last_blks,
         blk_oy,
         count,
+        seg_base,
         # inputs
         packed_hbm,
         wp_ref,
@@ -395,7 +397,7 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
             ax, ay, amp = _kernel_factors(
                 plan, pack_buf[par], wp_ref, wstacking
             )
-            oy = pl.multiple_of(blk_oy[b], 128)
+            oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
             patch_re = gbuf_re[sbuf, :, pl.ds(oy, PY)]
             patch_im = gbuf_im[sbuf, :, pl.ds(oy, PY)]
             contract0 = (((0,), (0,)), ((), ()))
@@ -426,11 +428,11 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
     """
     PX = plan.patch_x
     B = plan.block
-    NY = plan.nalloc_y
-    num_steps = max(plan.step_val.shape[1], 1)
+    NY = plan.seg_width
+    num_steps = max(plan.step_val.shape[-1], 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(num_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # packed (8, V)
@@ -458,10 +460,10 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (plan.nalloc_x, plan.nalloc_y), jnp.float32
+                (plan.nalloc_x, plan.seg_width), jnp.float32
             ),
             jax.ShapeDtypeStruct(
-                (plan.nalloc_x, plan.nalloc_y), jnp.float32
+                (plan.nalloc_x, plan.seg_width), jnp.float32
             ),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -469,8 +471,8 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
     )
 
     def grid_plane(
-        step_val, step_aux, first_block, block_oy, count, packed,
-        vis_split, w_p,
+        step_val, step_aux, first_block, block_oy, count, seg_base,
+        packed, vis_split, w_p,
     ):
         return call(
             step_val,
@@ -478,6 +480,7 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
             first_block,
             block_oy,
             count,
+            seg_base,
             packed,
             vis_split,
             w_p.reshape(1, 1),
@@ -498,12 +501,12 @@ def build_degrid_planes_pallas(
     """
     PX = plan.patch_x
     B = plan.block
-    NY = plan.nalloc_y
+    NY = plan.seg_width
     num_vis = plan.num_vis
-    num_steps = max(plan.step_val.shape[1], 1)
+    num_steps = max(plan.step_val.shape[-1], 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(num_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # packed
@@ -530,9 +533,9 @@ def build_degrid_planes_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, num_vis), jnp.float32),
-        # out zeros input (position 11 after 7 prefetch + packed, w_p,
+        # out zeros input (position 12 after 8 prefetch + packed, w_p,
         # alloc_re, alloc_im) aliases the output
-        input_output_aliases={11: 0},
+        input_output_aliases={12: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
@@ -545,6 +548,7 @@ def build_degrid_planes_pallas(
         last_blocks,
         block_oy,
         count,
+        seg_base,
         packed,
         alloc_re,
         alloc_im,
@@ -559,6 +563,7 @@ def build_degrid_planes_pallas(
             last_blocks,
             block_oy,
             count,
+            seg_base,
             packed,
             w_p.reshape(1, 1),
             alloc_re,

@@ -57,6 +57,10 @@ DEFAULT_PATCH_Y = 256
 #: MeerKAT-like uv coverage), and MXU time scales with filled slots.
 DEFAULT_BLOCK = 128
 
+#: Maximum strip-buffer width in lanes (owned lanes + patch overhang):
+#: four (128, width) f32 buffers must fit the ~16 MB VMEM.
+MAX_SEG_WIDTH = 4864
+
 
 def next_even_grid_size(n: int) -> int:
     """Smallest even 7-smooth integer >= n (FFT-friendly sizes)."""
@@ -130,9 +134,18 @@ class GridderPlan:
     #: Number of real (row, chan) visibility samples (before padding).
     num_vis_data: int = 0
 
-    # Strip-kernel step program (see pallas_gridder): per plane, the
-    # interleaved sequence of block steps (value >= 0) and strip
-    # sentinels (value == -1 - strip); -2 pads inactive tail steps.
+    # Lane (y) segmentation: the strip kernels keep (patch_x,
+    # seg_width) buffers resident, so wide grids are processed in
+    # ``num_y_segments`` lane segments of ``seg_lanes`` owned lanes
+    # plus a (patch_y - tile_y)-lane overhang, seam-added by the
+    # caller. nalloc_y == num_y_segments * seg_lanes + overhang.
+    num_y_segments: int = 1
+    seg_lanes: int = 0
+
+    # Strip-kernel step program (see pallas_gridder): per (plane,
+    # y-segment), the interleaved sequence of block steps (value >= 0)
+    # and strip sentinels (value == -1 - strip); -2 pads inactive
+    # tail steps.
     num_strips: int = 0
     step_val: np.ndarray = field(repr=False, default=None)
     step_aux: np.ndarray = field(repr=False, default=None)
@@ -145,6 +158,11 @@ class GridderPlan:
     def num_vis(self) -> int:
         """Number of visibility slots (num_blocks * block)."""
         return len(self.order)
+
+    @property
+    def seg_width(self) -> int:
+        """Strip-buffer width: owned lanes plus the patch overhang."""
+        return self.seg_lanes + (self.patch_y - self.tile_y)
 
     def static_signature(self) -> tuple:
         """
@@ -168,7 +186,9 @@ class GridderPlan:
             self.max_active,
             self.num_vis,
             self.num_strips,
-            self.step_val.shape[1],
+            self.num_y_segments,
+            self.seg_lanes,
+            self.step_val.shape[-1],
         )
 
 
@@ -214,6 +234,8 @@ def build_step_tables(
     block_strip: np.ndarray,
     nplanes: int,
     num_strips: int,
+    block_segment: np.ndarray | None = None,
+    num_segments: int = 1,
 ) -> dict:
     """
     Per-plane step programs for the strip-resident Pallas kernels: the
@@ -231,28 +253,32 @@ def build_step_tables(
       reusing its buffer half.
     """
     num_blocks = len(plane_lo)
-    # Active blocks per plane: cumulative of range starts minus ends
-    if num_blocks:
-        counts = np.cumsum(
-            np.bincount(plane_lo, minlength=nplanes)
-            - np.bincount(
-                plane_hi + 1, minlength=nplanes + 1
-            )[:nplanes]
-        )
-    else:
-        counts = np.zeros(nplanes, dtype=np.int64)
-    max_steps = int(counts.max() if nplanes else 0) + num_strips
-    max_steps = max(max_steps, num_strips, 1)
+    if block_segment is None:
+        block_segment = np.zeros(num_blocks, dtype=np.int64)
 
-    step_val = np.full((nplanes, max_steps), -2, dtype=np.int32)
-    step_aux = np.zeros((nplanes, max_steps), dtype=np.int32)
-    step_aux2 = np.zeros((nplanes, max_steps), dtype=np.int32)
-    step_count = np.zeros(nplanes, dtype=np.int32)
-    first_block = np.full(nplanes, -1, dtype=np.int32)
-    last_blocks = np.full((nplanes, 2), -1, dtype=np.int32)
-
+    # Active block lists per (plane, y-segment) call
+    actives = {}
+    max_nb = 0
     for p in range(nplanes):
-        active = np.flatnonzero((plane_lo <= p) & (plane_hi >= p))
+        on_plane = np.flatnonzero((plane_lo <= p) & (plane_hi >= p))
+        segs = block_segment[on_plane]
+        for g in range(num_segments):
+            active = on_plane[segs == g]
+            actives[p, g] = active
+            max_nb = max(max_nb, len(active))
+    max_steps = max(max_nb + num_strips, 1)
+
+    shape = (nplanes, num_segments, max_steps)
+    step_val = np.full(shape, -2, dtype=np.int32)
+    step_aux = np.zeros(shape, dtype=np.int32)
+    step_aux2 = np.zeros(shape, dtype=np.int32)
+    step_count = np.zeros((nplanes, num_segments), dtype=np.int32)
+    first_block = np.full((nplanes, num_segments), -1, dtype=np.int32)
+    last_blocks = np.full(
+        (nplanes, num_segments, 2), -1, dtype=np.int32
+    )
+
+    for (p, g), active in actives.items():
         nb = len(active)
         strips = (
             block_strip[active] if nb else np.zeros(0, dtype=np.int64)
@@ -282,16 +308,18 @@ def build_step_tables(
         if nb > 2:
             aux2[pos_blocks[2:]] = active[:-2] + 1
         n_steps = nb + num_strips
-        step_val[p, :n_steps] = vals
-        step_aux[p, :n_steps] = aux
-        step_aux2[p, :n_steps] = aux2
-        step_count[p] = n_steps
+        step_val[p, g, :n_steps] = vals
+        step_aux[p, g, :n_steps] = aux
+        step_aux2[p, g, :n_steps] = aux2
+        step_count[p, g] = n_steps
         if nb:
-            first_block[p] = active[0]
+            first_block[p, g] = active[0]
             # Encoded (block << 1 | parity) for the degrid drain
-            last_blocks[p, 0] = (active[-1] << 1) | ((nb - 1) % 2)
+            last_blocks[p, g, 0] = (active[-1] << 1) | ((nb - 1) % 2)
             if nb > 1:
-                last_blocks[p, 1] = (active[-2] << 1) | ((nb - 2) % 2)
+                last_blocks[p, g, 1] = (
+                    (active[-2] << 1) | ((nb - 2) % 2)
+                )
 
     return {
         "step_val": step_val,
@@ -315,7 +343,7 @@ def plan_shape_maxima(plans: list) -> dict:
         "num_blocks": max(p.num_blocks for p in plans),
         "max_active": max(p.max_active for p in plans),
         "nplanes": max(p.nplanes for p in plans),
-        "max_steps": max(p.step_val.shape[1] for p in plans),
+        "max_steps": max(p.step_val.shape[-1] for p in plans),
     }
 
 
@@ -365,6 +393,7 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
     max_steps = maxima["max_steps"]
     block = plans[0].block
     num_strips = plans[0].num_strips
+    num_segments = plans[0].num_y_segments
     num_vis = num_blocks * block
 
     def _pad1(arr, target, fill):
@@ -385,22 +414,27 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         table[: p.active_table.shape[0], : p.active_table.shape[1]] = (
             p.active_table
         )
-        step_val = np.full((nplanes, max_steps), -2, dtype=np.int32)
-        step_aux = np.zeros((nplanes, max_steps), dtype=np.int32)
-        step_aux2 = np.zeros((nplanes, max_steps), dtype=np.int32)
-        step_val[:, :num_strips] = sent_val
-        step_aux[:, :num_strips] = sent_aux
-        rows, cols = p.step_val.shape
-        step_val[:rows, :cols] = p.step_val
-        step_val[:rows, cols:] = -2
-        step_aux[:rows, :cols] = p.step_aux
-        step_aux[:rows, cols:] = 0
-        step_aux2[:rows, :cols] = p.step_aux2
-        step_count = np.full(nplanes, num_strips, dtype=np.int32)
+        shape = (nplanes, num_segments, max_steps)
+        step_val = np.full(shape, -2, dtype=np.int32)
+        step_aux = np.zeros(shape, dtype=np.int32)
+        step_aux2 = np.zeros(shape, dtype=np.int32)
+        step_val[:, :, :num_strips] = sent_val
+        step_aux[:, :, :num_strips] = sent_aux
+        rows, _, cols = p.step_val.shape
+        step_val[:rows, :, :cols] = p.step_val
+        step_val[:rows, :, cols:] = -2
+        step_aux[:rows, :, :cols] = p.step_aux
+        step_aux[:rows, :, cols:] = 0
+        step_aux2[:rows, :, :cols] = p.step_aux2
+        step_count = np.full(
+            (nplanes, num_segments), num_strips, dtype=np.int32
+        )
         step_count[:rows] = p.step_count
-        first_block = np.full(nplanes, -1, dtype=np.int32)
+        first_block = np.full((nplanes, num_segments), -1, np.int32)
         first_block[:rows] = p.first_block
-        last_blocks = np.full((nplanes, 2), -1, dtype=np.int32)
+        last_blocks = np.full(
+            (nplanes, num_segments, 2), -1, dtype=np.int32
+        )
         last_blocks[:rows] = p.last_blocks
         block_start = (
             np.arange(num_blocks, dtype=np.int64) * block
@@ -554,6 +588,19 @@ def make_plan(
     nalloc_y = max((nty - 1) * tile_y + patch_y, nalloc_min)
     nalloc_y = -(-nalloc_y // 128) * 128
 
+    # Lane segmentation: cap the strip-buffer width so the kernels'
+    # four (patch_x, seg_width) f32 buffers stay within ~10 MB of the
+    # chip's ~16 MB VMEM. Wide (production) grids run in several
+    # segments, seam-added by the gridder.
+    overhang = patch_y - tile_y
+    num_y_segments = max(
+        1, -(-(nalloc_y - overhang) // (MAX_SEG_WIDTH - overhang))
+    )
+    seg_lanes = (
+        -(-(nalloc_y - overhang) // num_y_segments) + 127
+    ) // 128 * 128
+    nalloc_y = num_y_segments * seg_lanes + overhang
+
     if use_native:
         cols = _native.plan_arrays(
             uvw,
@@ -666,8 +713,19 @@ def make_plan(
         if num_blocks
         else np.zeros(0, dtype=np.int64)
     )
+    block_segment = (
+        (block_oy // seg_lanes).astype(np.int64)
+        if num_blocks
+        else np.zeros(0, dtype=np.int64)
+    )
     step_tables = build_step_tables(
-        plane_lo, plane_hi, block_strip, nplanes, num_strips
+        plane_lo,
+        plane_hi,
+        block_strip,
+        nplanes,
+        num_strips,
+        block_segment,
+        num_y_segments,
     )
 
     # --- block-slot re-packing -----------------------------------------
@@ -748,5 +806,7 @@ def make_plan(
         quad_nodes=quad_nodes,
         quad_folded=quad_folded,
         num_strips=num_strips,
+        num_y_segments=num_y_segments,
+        seg_lanes=seg_lanes,
         **step_tables,
     )
