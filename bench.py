@@ -12,6 +12,14 @@ computed against a fixed nominal figure for the reference stack —
 production node (a generous reading of typical ducc0 throughput on the
 reference's 76-core icelake nodes, slurm/csd3_icelake.sh:6-10) — so the
 ratio is comparable across rounds.
+
+Timing notes for the axon TPU relay: execution is lazy (work happens at
+the first device->host fetch) and identical (program, inputs) pairs can
+be served from a relay cache, so every timed repeat feeds a fresh seed
+through a serial dependency chain and timing goes through a scalar
+fetch. The relay itself takes ~1-3 minutes to warm up on first touch;
+that cost is measured separately and kept out of the plan/compile
+numbers.
 """
 
 import json
@@ -33,6 +41,8 @@ NUM_PIXELS = 2048
 PIXEL_ASEC = 5.0
 EPSILON = 1e-4
 REPEATS = 3
+CHAIN = 8
+MINOR_ITER = 25
 
 
 def main() -> None:
@@ -55,8 +65,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from ska_sdp_cip_tpu.io.synth import synthetic_uvw
+    from ska_sdp_cip_tpu.models.clean import hogbom_clean
     from ska_sdp_cip_tpu.ops.gridder import (
         build_invert,
+        build_predict,
         plan_device_arrays,
         split_complex,
     )
@@ -75,12 +87,23 @@ def main() -> None:
 
     pixel_size_lm = float(np.sin(np.radians(PIXEL_ASEC / 3600.0)))
 
+    def scalar_fetch():
+        return float(
+            np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0)))
+        )
+
+    t_warm = time.time()
+    scalar_fetch()
+    warmup_seconds = time.time() - t_warm
+
     t_plan = time.time()
     plan = make_plan(
         uvw, freqs, NUM_PIXELS, pixel_size_lm, epsilon=EPSILON
     )
     arrays = plan_device_arrays(plan)
+    _ = float(np.asarray(arrays["packed"][0, 0]))  # force transfers
     invert = build_invert(plan)
+    predict = build_predict(plan)
     plan_seconds = time.time() - t_plan
 
     weighted = (vis * wgt).ravel()
@@ -91,46 +114,97 @@ def main() -> None:
     im_pad[: len(im)] = im
     re_dev = jnp.asarray(re_pad)
     im_dev = jnp.asarray(im_pad)
+    wgt_pad = np.zeros(plan.num_vis, np.float32)
+    wgt_pad[: weighted.size] = wgt.ravel()
+    wgt_dev = jnp.asarray(wgt_pad)
 
-    # On the axon relay, execution is lazy until a device->host fetch:
-    # block_until_ready does NOT synchronize. Chain CHAIN inverts with
-    # a serial data dependency inside one jit and time through a
-    # scalar fetch, so per-invert time is (total - fetch) / CHAIN.
-    CHAIN = 8
-
+    # Serial dependency chains with a per-repeat seed: defeats both XLA
+    # CSE across iterations and the relay's identical-request cache.
     @jax.jit
-    def invert_chain(arrays, re, im):
+    def invert_chain(arrays, re, im, seed):
         def body(_, acc):
-            # acc-dependent perturbation defeats CSE across iterations
-            out = invert(arrays, re * (1.0 + acc * 1e-30), im)
+            out = invert(
+                arrays, re * (1.0 + (acc + seed) * 1e-30), im
+            )
             return out[0, 0]
 
-        acc = jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
-        return acc, invert(arrays, re, im)
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
-    # Warmup (compile + first execution + first fetch)
-    t_compile = time.time()
-    acc, image = invert_chain(arrays, re_dev, im_dev)
-    _ = float(np.asarray(acc))
-    compile_seconds = time.time() - t_compile
+    @jax.jit
+    def predict_chain(arrays, image, seed):
+        def body(_, acc):
+            out_re, out_im = predict(
+                arrays, image * (1.0 + (acc + seed) * 1e-30)
+            )
+            return out_re[0] + out_im[1]
 
-    # Fetch overhead: a trivial jitted scalar round trip
-    t_fetch = time.time()
-    _ = float(np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))))
-    fetch_seconds = time.time() - t_fetch
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
-    times = []
-    for _ in range(REPEATS):
-        start = time.time()
-        acc, image = invert_chain(arrays, re_dev, im_dev)
-        _ = float(np.asarray(acc))
-        times.append(
-            max(time.time() - start - fetch_seconds, 1e-9) / (CHAIN + 1)
+    @jax.jit
+    def cycle_step(arrays, re, im, wgt, model, psf, seed):
+        """One major cycle: predict, weighted residual, invert
+        (gradient), Hogbom minor cycle, model update."""
+        model_re, model_im = predict(arrays, model)
+        pad = re.shape[0] - model_re.shape[0]
+        model_re = jnp.pad(model_re, (0, pad))
+        model_im = jnp.pad(model_im, (0, pad))
+        res_re = (re - model_re * wgt) * (1.0 + seed * 1e-30)
+        res_im = im - model_im * wgt
+        residual = invert(arrays, res_re, res_im)
+        delta, _ = hogbom_clean(
+            residual, psf, gain=0.1, max_iter=MINOR_ITER
         )
-    best = min(times)
+        # Scalar result: timing fetches must not pay an image-sized
+        # device->host transfer through the relay.
+        return jnp.sum(jnp.abs(model + delta))
+
+    def timed(fn, *args_fn):
+        """(compile+first seconds, best per-call seconds)."""
+        t0 = time.time()
+        _ = np.asarray(jax.block_until_ready(fn(*args_fn(0))))
+        first = time.time() - t0
+        t0 = time.time()
+        scalar_fetch()
+        fetch = time.time() - t0
+        best = float("inf")
+        for rep in range(1, REPEATS + 1):
+            t0 = time.time()
+            _ = np.asarray(jax.block_until_ready(fn(*args_fn(rep))))
+            best = min(best, max(time.time() - t0 - fetch, 1e-9))
+        return first, best
+
+    image0 = jnp.zeros((NUM_PIXELS, NUM_PIXELS), jnp.float32)
+
+    first_inv, best_chain = timed(
+        invert_chain,
+        lambda rep: (arrays, re_dev, im_dev, jnp.float32(rep)),
+    )
+    invert_seconds = best_chain / CHAIN
+
+    first_pre, best_pre = timed(
+        predict_chain,
+        lambda rep: (arrays, image0 + 1.0, jnp.float32(rep)),
+    )
+    predict_seconds = best_pre / CHAIN
+
+    # PSF for the minor cycle (reuse the invert program)
+    psf = invert(arrays, wgt_dev, jnp.zeros_like(wgt_dev))
+    psf = psf / jnp.max(psf)
+    first_cyc, cycle_seconds = timed(
+        cycle_step,
+        lambda rep: (
+            arrays,
+            re_dev,
+            im_dev,
+            wgt_dev,
+            image0,
+            psf,
+            jnp.float32(rep),
+        ),
+    )
 
     num_vis = plan.num_vis_data
-    vis_per_sec = num_vis / best
+    vis_per_sec = num_vis / invert_seconds
 
     result = {
         "metric": "gridded visibilities/sec/chip",
@@ -145,13 +219,20 @@ def main() -> None:
         "num_pixels": NUM_PIXELS,
         "nplanes": plan.nplanes,
         "num_blocks": plan.num_blocks,
-        "max_active": plan.max_active,
+        "warmup_seconds": round(warmup_seconds, 2),
         "plan_seconds": round(plan_seconds, 2),
-        "compile_seconds": round(compile_seconds, 2),
-        "fetch_seconds": round(fetch_seconds, 4),
-        "invert_seconds_best": round(best, 4),
-        "invert_seconds_all": [round(t, 4) for t in times],
-        "image_max": float(np.asarray(jnp.max(image))),
+        "compile_seconds": {
+            "invert_chain": round(first_inv, 2),
+            "predict_chain": round(first_pre, 2),
+            "cycle": round(first_cyc, 2),
+        },
+        "invert_seconds": round(invert_seconds, 5),
+        "predict_seconds": round(predict_seconds, 5),
+        "major_cycle_seconds": round(cycle_seconds, 5),
+        "invert_mvis_per_s": round(vis_per_sec / 1e6, 2),
+        "predict_mvis_per_s": round(
+            num_vis / predict_seconds / 1e6, 2
+        ),
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

@@ -361,7 +361,9 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
         @jax.jit
         def invert_pallas(arrays: dict, vis_re, vis_im):
             re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
-            vis_split = jnp.stack([re, im], axis=0)  # (2, V) lane-major
+            # Splice the split visibilities into the packed rows so
+            # each block-step costs a single input DMA.
+            data = arrays["packed"].at[4].set(re).at[5].set(im)
 
             NSEG = plan.num_y_segments
             SY = plan.seg_lanes
@@ -371,12 +373,11 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
                 return grid_plane(
                     arrays["step_val"][p, g],
                     arrays["step_aux"][p, g],
-                    arrays["first_block"][p, g][None],
+                    arrays["first_block"][p, g],
                     arrays["block_oy"],
                     arrays["step_count"][p, g][None],
                     jnp.full((1,), g * SY, jnp.int32),
-                    arrays["packed"],
-                    vis_split,
+                    data,
                     w_p,
                 )
 
@@ -597,7 +598,7 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
                     arrays["step_val"][p, g],
                     arrays["step_aux"][p, g],
                     arrays["step_aux2"][p, g],
-                    arrays["first_block"][p, g][None],
+                    arrays["first_block"][p, g],
                     arrays["last_blocks"][p, g],
                     arrays["block_oy"],
                     arrays["step_count"][p, g][None],

@@ -49,9 +49,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kernels import es_kernel_jnp
-from .plan import GridderPlan
+from .plan import NUM_IN_BUFFERS, PREFETCH_DEPTH, GridderPlan
 
-#: Packed per-visibility rows: xpos, ypos, ws, block_len (broadcast)
+#: Packed per-visibility rows: xpos, ypos, ws, block_len (broadcast);
+#: rows 4/5 are filled with the split weighted visibilities on device
+#: by the invert path so each block needs ONE input DMA.
 PACK_COLS = 8
 
 
@@ -101,9 +103,9 @@ def _decode_step(step_val, step_aux, j):
     """Shared step decode: (value, prefetch block, strip buf, parity)."""
     v = step_val[j]
     aux = step_aux[j]
-    pref = (aux >> 2) - 1
-    sbuf = (aux >> 1) & 1
-    par = aux & 1
+    pref = (aux >> 4) - 1
+    sbuf = (aux >> 2) & 1
+    par = aux & 3
     return v, pref, sbuf, par
 
 
@@ -155,7 +157,6 @@ def _grid_strip_kernel_factory(plan: GridderPlan):
         seg_base,
         # inputs
         packed_hbm,
-        vis_hbm,
         wp_ref,
         # outputs
         out_re,
@@ -164,56 +165,50 @@ def _grid_strip_kernel_factory(plan: GridderPlan):
         strip_re,
         strip_im,
         pack_buf,
-        vis_buf,
         in_sems,
         out_sems,
     ):
         j = pl.program_id(0)
         cnt = count[0]
 
-        def in_copies(b, par):
+        def in_copy(b, par):
             s = pl.multiple_of(b * B, B)
-            return (
-                pltpu.make_async_copy(
-                    packed_hbm.at[:, pl.ds(s, B)],
-                    pack_buf.at[par],
-                    in_sems.at[par, 0],
-                ),
-                pltpu.make_async_copy(
-                    vis_hbm.at[:, pl.ds(s, B)],
-                    vis_buf.at[par],
-                    in_sems.at[par, 1],
-                ),
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(s, B)],
+                pack_buf.at[par],
+                in_sems.at[par],
             )
 
         @pl.when(j == 0)
         def _():
             strip_re[0] = jnp.zeros((PX, NY), jnp.float32)
             strip_im[0] = jnp.zeros((PX, NY), jnp.float32)
+            for slot in range(PREFETCH_DEPTH):
+                head = first_blk[slot]
 
-            @pl.when(first_blk[0] >= 0)
-            def _():
-                for copy in in_copies(jnp.maximum(first_blk[0], 0), 0):
-                    copy.start()
+                @pl.when(head >= 0)
+                def _():
+                    in_copy(jnp.maximum(head, 0), slot).start()
 
         v, pref, sbuf, par = _decode_step(step_val, step_aux, j)
         active = j < cnt
 
         @pl.when(active & (pref >= 0))
         def _():
-            for copy in in_copies(jnp.maximum(pref, 0), 1 - par):
-                copy.start()
+            in_copy(
+                jnp.maximum(pref, 0),
+                (par + PREFETCH_DEPTH) % NUM_IN_BUFFERS,
+            ).start()
 
         @pl.when(active & (v >= 0))
         def _():
             b = jnp.maximum(v, 0)
-            for copy in in_copies(b, par):
-                copy.wait()
+            in_copy(b, par).wait()
             ax, ay, amp = _kernel_factors(
                 plan, pack_buf[par], wp_ref, wstacking
             )
-            vre = vis_buf[par][0:1, :]
-            vim = vis_buf[par][1:2, :]
+            vre = pack_buf[par][4:5, :]
+            vim = pack_buf[par][5:6, :]
             contract = (((1,), (1,)), ((), ()))
             patch_re = _dot3_bf16(ax * (vre * amp), ay, contract)
             patch_im = _dot3_bf16(ax * (vim * amp), ay, contract)
@@ -321,7 +316,7 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
                 packed_hbm.at[:, pl.ds(s, B)],
                 pack_buf.at[par],
                 in_sems.at[par],
-            )
+            )  # noqa: E306
 
         def grid_copies(strip_idx, buf):
             r0 = pl.multiple_of(strip_idx * SX, 8)
@@ -350,10 +345,12 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
         def _():
             for copy in grid_copies(0, 0):
                 copy.start()
+            for slot in range(PREFETCH_DEPTH):
+                head = first_blk[slot]
 
-            @pl.when(first_blk[0] >= 0)
-            def _():
-                pack_copy(jnp.maximum(first_blk[0], 0), 0).start()
+                @pl.when(head >= 0)
+                def _():
+                    pack_copy(jnp.maximum(head, 0), slot).start()
 
         v, pref, sbuf, par = _decode_step(step_val, step_aux, j)
         prev2 = step_aux2[j] - 1
@@ -361,7 +358,10 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
 
         @pl.when(active & (pref >= 0))
         def _():
-            pack_copy(jnp.maximum(pref, 0), 1 - par).start()
+            pack_copy(
+                jnp.maximum(pref, 0),
+                (par + PREFETCH_DEPTH) % NUM_IN_BUFFERS,
+            ).start()
 
         @pl.when(active & (v < 0))
         def _():
@@ -381,13 +381,13 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
             # (blocks last and last-1; parity rides in the encoding).
             @pl.when(s == NS - 1)
             def _():
-                for slot in range(2):
+                for slot in range(NUM_IN_BUFFERS):
                     enc = last_blks[slot]
 
                     @pl.when(enc >= 0)
                     def _():
                         out_copy(
-                            jnp.maximum(enc >> 1, 0), enc & 1
+                            jnp.maximum(enc >> 2, 0), enc & 3
                         ).wait()
 
         @pl.when(active & (v >= 0))
@@ -422,7 +422,7 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
 def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
     """
     Returns ``grid_plane(step_val, step_aux, first_block, block_oy,
-    count, packed, vis_split, w_p) -> (alloc_re, alloc_im)``: grid one
+    count, seg_base, data, w_p) -> (alloc_re, alloc_im)``: grid one
     w-plane's blocks onto the padded uv alloc, every row written
     exactly once.
     """
@@ -435,8 +435,7 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
         num_scalar_prefetch=6,
         grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # packed (8, V)
-            pl.BlockSpec(memory_space=pl.ANY),  # vis (2, V)
+            pl.BlockSpec(memory_space=pl.ANY),  # packed+vis (8, V)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # w_p (1, 1)
         ],
         out_specs=[
@@ -446,9 +445,8 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((2, PX, NY), jnp.float32),
             pltpu.VMEM((2, PX, NY), jnp.float32),
-            pltpu.VMEM((2, PACK_COLS, B), jnp.float32),
-            pltpu.VMEM((2, 2, B), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -472,7 +470,7 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
 
     def grid_plane(
         step_val, step_aux, first_block, block_oy, count, seg_base,
-        packed, vis_split, w_p,
+        data, w_p,
     ):
         return call(
             step_val,
@@ -481,8 +479,7 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
             block_oy,
             count,
             seg_base,
-            packed,
-            vis_split,
+            data,
             w_p.reshape(1, 1),
         )
 
@@ -519,11 +516,11 @@ def build_degrid_planes_pallas(
         scratch_shapes=[
             pltpu.VMEM((2, PX, NY), jnp.float32),
             pltpu.VMEM((2, PX, NY), jnp.float32),
-            pltpu.VMEM((2, PACK_COLS, B), jnp.float32),
-            pltpu.VMEM((2, 2, B), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
+            pltpu.VMEM((NUM_IN_BUFFERS, 2, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
         ],
     )
 

@@ -61,6 +61,13 @@ DEFAULT_BLOCK = 128
 #: four (128, width) f32 buffers must fit the ~16 MB VMEM.
 MAX_SEG_WIDTH = 4864
 
+#: Input-DMA pipeline of the strip kernels: per-block data is fetched
+#: PREFETCH_DEPTH block-steps ahead into NUM_IN_BUFFERS slots, hiding
+#: DMA latency behind several steps of compute (a one-step lookahead
+#: left the MXU stalling on ~us DMA latency each ~0.3 us step).
+NUM_IN_BUFFERS = 4
+PREFETCH_DEPTH = 3
+
 
 def next_even_grid_size(n: int) -> int:
     """Smallest even 7-smooth integer >= n (FFT-friendly sizes)."""
@@ -245,12 +252,17 @@ def build_step_tables(
     from SMEM. Encoding:
 
     * ``step_val``: block id (>= 0), sentinel ``-1 - strip``, pad -2.
-    * ``step_aux``: ``(pref + 1) << 2 | strip_parity << 1 | parity``
+    * ``step_aux``: ``(pref + 1) << 4 | strip_parity << 2 | parity``
       where ``pref`` is the block whose input DMA to start at this
-      step and ``parity`` the block's double-buffer slot.
-    * ``step_aux2``: block id two block-steps behind, plus one (0 if
-      none) — the degrid kernel waits that block's output DMA before
-      reusing its buffer half.
+      step (``PREFETCH_DEPTH`` blocks ahead) and ``parity`` the
+      block's slot in the ``NUM_IN_BUFFERS``-deep input pipeline.
+    * ``step_aux2``: block id ``NUM_IN_BUFFERS`` block-steps behind,
+      plus one (0 if none) — the degrid kernel waits that block's
+      output DMA before reusing its buffer slot.
+    * ``head_blocks``: the first ``PREFETCH_DEPTH`` blocks, whose DMAs
+      step 0 launches to fill the pipeline.
+    * ``last_blocks``: the final ``NUM_IN_BUFFERS`` blocks encoded as
+      ``block << 2 | parity`` for the degrid output drain.
     """
     num_blocks = len(plane_lo)
     if block_segment is None:
@@ -273,9 +285,11 @@ def build_step_tables(
     step_aux = np.zeros(shape, dtype=np.int32)
     step_aux2 = np.zeros(shape, dtype=np.int32)
     step_count = np.zeros((nplanes, num_segments), dtype=np.int32)
-    first_block = np.full((nplanes, num_segments), -1, dtype=np.int32)
+    first_block = np.full(
+        (nplanes, num_segments, PREFETCH_DEPTH), -1, dtype=np.int32
+    )
     last_blocks = np.full(
-        (nplanes, num_segments, 2), -1, dtype=np.int32
+        (nplanes, num_segments, NUM_IN_BUFFERS), -1, dtype=np.int32
     )
 
     for (p, g), active in actives.items():
@@ -297,29 +311,32 @@ def build_step_tables(
         cur_strip = np.zeros(nb + num_strips, dtype=np.int64)
         cur_strip[pos_blocks] = strips
         cur_strip[pos_sent] = np.arange(num_strips)
-        aux |= (cur_strip % 2).astype(np.int32) << 1
-        parity = (np.arange(nb) % 2).astype(np.int32)
+        aux |= (cur_strip % 2).astype(np.int32) << 2
+        parity = (np.arange(nb) % NUM_IN_BUFFERS).astype(np.int32)
         aux[pos_blocks] |= parity
         pref = np.zeros(nb + num_strips, dtype=np.int32)
-        if nb > 1:
-            pref[pos_blocks[:-1]] = active[1:] + 1
-        aux |= pref << 2
+        if nb > PREFETCH_DEPTH:
+            pref[pos_blocks[:-PREFETCH_DEPTH]] = (
+                active[PREFETCH_DEPTH:] + 1
+            )
+        aux |= pref << 4
         aux2 = np.zeros(nb + num_strips, dtype=np.int32)
-        if nb > 2:
-            aux2[pos_blocks[2:]] = active[:-2] + 1
+        if nb > NUM_IN_BUFFERS:
+            aux2[pos_blocks[NUM_IN_BUFFERS:]] = (
+                active[:-NUM_IN_BUFFERS] + 1
+            )
         n_steps = nb + num_strips
         step_val[p, g, :n_steps] = vals
         step_aux[p, g, :n_steps] = aux
         step_aux2[p, g, :n_steps] = aux2
         step_count[p, g] = n_steps
-        if nb:
-            first_block[p, g] = active[0]
-            # Encoded (block << 1 | parity) for the degrid drain
-            last_blocks[p, g, 0] = (active[-1] << 1) | ((nb - 1) % 2)
-            if nb > 1:
-                last_blocks[p, g, 1] = (
-                    (active[-2] << 1) | ((nb - 2) % 2)
-                )
+        head = active[:PREFETCH_DEPTH]
+        first_block[p, g, : len(head)] = head
+        # Encoded (block << 2 | parity) for the degrid drain
+        tail = active[-NUM_IN_BUFFERS:]
+        tail_k = np.arange(nb)[-NUM_IN_BUFFERS:]
+        for slot, (blk, k) in enumerate(zip(tail, tail_k)):
+            last_blocks[p, g, slot] = (blk << 2) | (k % NUM_IN_BUFFERS)
 
     return {
         "step_val": step_val,
@@ -430,10 +447,12 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
             (nplanes, num_segments), num_strips, dtype=np.int32
         )
         step_count[:rows] = p.step_count
-        first_block = np.full((nplanes, num_segments), -1, np.int32)
+        first_block = np.full(
+            (nplanes, num_segments, PREFETCH_DEPTH), -1, np.int32
+        )
         first_block[:rows] = p.first_block
         last_blocks = np.full(
-            (nplanes, num_segments, 2), -1, dtype=np.int32
+            (nplanes, num_segments, NUM_IN_BUFFERS), -1, dtype=np.int32
         )
         last_blocks[:rows] = p.last_blocks
         block_start = (
