@@ -30,11 +30,20 @@ _HIGHEST = None  # set lazily to avoid importing jax at module import
 
 
 def _precision():
+    """
+    Matmul precision of the DFT factors. HIGHEST (6-pass bf16 ~= f32)
+    by default; CIP_FFT_PRECISION=high selects the 3-pass mode
+    (~1e-6 relative — still far inside the gridder's 1e-4 contract)
+    when the FFT stages are MXU-bound rather than HBM-bound.
+    """
     global _HIGHEST
     if _HIGHEST is None:
+        import os
+
         import jax
 
-        _HIGHEST = jax.lax.Precision.HIGHEST
+        name = os.environ.get("CIP_FFT_PRECISION", "highest").upper()
+        _HIGHEST = getattr(jax.lax.Precision, name)
     return _HIGHEST
 
 
