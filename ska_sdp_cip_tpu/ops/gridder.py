@@ -119,33 +119,25 @@ def compute_geometry_maps(plan: GridderPlan) -> dict:
     return build()
 
 
-def plan_host_arrays(plan: GridderPlan) -> dict:
+def plan_host_arrays(
+    plan: GridderPlan, *, gridder: str | None = None
+) -> dict:
     """
     Host (numpy) arrays of a plan — the per-visibility/per-block part
     of the gridding program's input plus the matmul-FFT factors for the
     padded grid size. Cheap (no O(npix^2) work); the image-domain maps
     are device-computed by :func:`compute_geometry_maps`.
+
+    In Pallas mode (the resolved default on accelerators) the per-slot
+    coordinate columns and active tables that only the XLA fallback
+    consumes are omitted — at production scale they are GBs of
+    transfer/HBM the kernels never read.
     """
     arrays = {
         "order": plan.order,
         "flip_sign": np.where(plan.flip, -1.0, 1.0).astype(np.float32),
-        "x0": plan.x0,
-        "y0": plan.y0,
-        "fx": plan.fx,
-        "fy": plan.fy,
         "ws": plan.ws,
-        "block_start": plan.block_start,
-        "block_len": plan.block_len,
-        "block_ox": plan.block_ox,
         "block_oy": plan.block_oy,
-        "active_table": np.pad(
-            plan.active_table,
-            ((0, 0), (0, _padded_active(plan) - plan.max_active)),
-            constant_values=-1,
-        ),
-        "active_count": np.sum(
-            plan.active_table >= 0, axis=1
-        ).astype(np.int32),
         "plane_w": plan.plane_w,
         # Strip-kernel step program (ops/plan.py:build_step_tables)
         "step_val": plan.step_val,
@@ -155,6 +147,29 @@ def plan_host_arrays(plan: GridderPlan) -> dict:
         "first_block": plan.first_block,
         "last_blocks": plan.last_blocks,
     }
+    if resolve_gridder_mode(gridder) == "xla":
+        arrays.update(
+            {
+                "x0": plan.x0,
+                "y0": plan.y0,
+                "fx": plan.fx,
+                "fy": plan.fy,
+                "block_start": plan.block_start,
+                "block_len": plan.block_len,
+                "block_ox": plan.block_ox,
+                "active_table": np.pad(
+                    plan.active_table,
+                    (
+                        (0, 0),
+                        (0, _padded_active(plan) - plan.max_active),
+                    ),
+                    constant_values=-1,
+                ),
+                "active_count": np.sum(
+                    plan.active_table >= 0, axis=1
+                ).astype(np.int32),
+            }
+        )
     from .pallas_gridder import pack_plan_columns
 
     arrays["packed"] = pack_plan_columns(plan)
