@@ -42,6 +42,7 @@ PIXEL_ASEC = 5.0
 EPSILON = 1e-4
 REPEATS = 3
 CHAIN = 8
+CYCLE_CHAIN = 4
 MINOR_ITER = 25
 
 
@@ -141,24 +142,36 @@ def main() -> None:
         return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
     @jax.jit
-    def cycle_step(arrays, re, im, wgt, model, psf, seed):
-        """One major cycle: predict, weighted residual, invert
-        (gradient), Hogbom minor cycle, model update."""
-        model_re, model_im = predict(arrays, model)
-        pad = re.shape[0] - model_re.shape[0]
-        model_re = jnp.pad(model_re, (0, pad))
-        model_im = jnp.pad(model_im, (0, pad))
-        res_re = (re - model_re * wgt) * (1.0 + seed * 1e-30)
-        res_im = im - model_im * wgt
-        residual = invert(arrays, res_re, res_im)
-        delta, _ = hogbom_clean(
-            residual, psf, gain=0.1, max_iter=MINOR_ITER
+    def cycle_chain(arrays, re, im, wgt, psf, seed):
+        """CYCLE_CHAIN major cycles carried serially: each iteration
+        predicts the running model, inverts the weighted residual and
+        runs a Hogbom minor cycle — so per-cycle time can be read off
+        a single fetch (one cycle alone is shorter than the relay's
+        round-trip jitter)."""
+
+        def body(k, model):
+            model_re, model_im = predict(arrays, model)
+            pad = re.shape[0] - model_re.shape[0]
+            model_re = jnp.pad(model_re, (0, pad))
+            model_im = jnp.pad(model_im, (0, pad))
+            res_re = (re - model_re * wgt) * (
+                1.0 + (seed + k) * 1e-30
+            )
+            res_im = im - model_im * wgt
+            residual = invert(arrays, res_re, res_im)
+            delta, _ = hogbom_clean(
+                residual, psf, gain=0.1, max_iter=MINOR_ITER
+            )
+            return model + delta
+
+        model = jax.lax.fori_loop(
+            0, CYCLE_CHAIN, body, jnp.zeros_like(psf)
         )
         # Scalar result: timing fetches must not pay an image-sized
         # device->host transfer through the relay.
-        return jnp.sum(jnp.abs(model + delta))
+        return jnp.sum(jnp.abs(model))
 
-    def timed(fn, *args_fn):
+    def timed(fn, args_fn):
         """(compile+first seconds, best per-call seconds)."""
         t0 = time.time()
         _ = np.asarray(jax.block_until_ready(fn(*args_fn(0))))
@@ -190,18 +203,18 @@ def main() -> None:
     # PSF for the minor cycle (reuse the invert program)
     psf = invert(arrays, wgt_dev, jnp.zeros_like(wgt_dev))
     psf = psf / jnp.max(psf)
-    first_cyc, cycle_seconds = timed(
-        cycle_step,
+    first_cyc, best_cyc = timed(
+        cycle_chain,
         lambda rep: (
             arrays,
             re_dev,
             im_dev,
             wgt_dev,
-            image0,
             psf,
             jnp.float32(rep),
         ),
     )
+    cycle_seconds = best_cyc / CYCLE_CHAIN
 
     num_vis = plan.num_vis_data
     vis_per_sec = num_vis / invert_seconds

@@ -7,6 +7,7 @@ exists with the right shape, plus the installed entry point.
 import json
 import subprocess
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -78,6 +79,11 @@ def test_entry_point_subprocess(dataset_path, tmp_path):
     # Run the subprocess on the host CPU backend (see conftest.py).
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    # Works from a source checkout without an editable install.
+    repo_root = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
 
     out = tmp_path / "sub.npy"
     result = subprocess.run(
