@@ -40,8 +40,8 @@ NUM_CHANNELS = 16  # -> 729,600 visibility samples
 NUM_PIXELS = 2048
 PIXEL_ASEC = 5.0
 EPSILON = 1e-4
-REPEATS = 3
-CHAIN = 8
+REPEATS = 5
+CHAIN = 16
 CYCLE_CHAIN = 4
 MINOR_ITER = 25
 
@@ -88,10 +88,13 @@ def main() -> None:
 
     pixel_size_lm = float(np.sin(np.radians(PIXEL_ASEC / 3600.0)))
 
+    # Pre-jitted ONCE: re-jitting a fresh lambda per probe measures
+    # dispatch/trace cost (~0.5 s through the relay), not the fetch
+    # round trip, and subtracting that inflated every timing.
+    _probe = jax.jit(lambda x: x + 1.0)
+
     def scalar_fetch():
-        return float(
-            np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0)))
-        )
+        return float(np.asarray(_probe(jnp.float32(1.0))))
 
     t_warm = time.time()
     scalar_fetch()
@@ -176,9 +179,14 @@ def main() -> None:
         t0 = time.time()
         _ = np.asarray(jax.block_until_ready(fn(*args_fn(0))))
         first = time.time() - t0
-        t0 = time.time()
-        scalar_fetch()
-        fetch = time.time() - t0
+        # Fetch overhead: min over several round trips (single samples
+        # carry the relay's full jitter, which is comparable to one
+        # kernel execution).
+        fetch = float("inf")
+        for _i in range(3):
+            t0 = time.time()
+            scalar_fetch()
+            fetch = min(fetch, time.time() - t0)
         best = float("inf")
         for rep in range(1, REPEATS + 1):
             t0 = time.time()
