@@ -31,10 +31,10 @@ _HIGHEST = None  # set lazily to avoid importing jax at module import
 
 def _precision():
     """
-    Matmul precision of the DFT factors. HIGHEST (6-pass bf16 ~= f32)
-    by default; CIP_FFT_PRECISION=high selects the 3-pass mode
-    (~1e-6 relative — still far inside the gridder's 1e-4 contract)
-    when the FFT stages are MXU-bound rather than HBM-bound.
+    Matmul precision of the DFT factors. HIGH (3-pass bf16, ~1e-6
+    relative — far inside the gridder's 1e-4 contract) by default;
+    CIP_FFT_PRECISION=highest selects the 6-pass ~f32 mode for
+    cross-checking accuracy on hardware.
     """
     global _HIGHEST
     if _HIGHEST is None:
@@ -42,7 +42,7 @@ def _precision():
 
         import jax
 
-        name = os.environ.get("CIP_FFT_PRECISION", "highest").upper()
+        name = os.environ.get("CIP_FFT_PRECISION", "high").upper()
         _HIGHEST = getattr(jax.lax.Precision, name)
     return _HIGHEST
 

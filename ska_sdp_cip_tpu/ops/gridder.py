@@ -222,11 +222,23 @@ def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_re, vis_im):
     """
     Gather to plan order, conjugate flipped rows, apply the w-shift
     pre-phase. All float32; returns (re, im).
+
+    The gather runs as ONE row-take of an (N, 2) interleave: TPU
+    element gathers serialize (~7 cycles/element — 14 ms/call at bench
+    size) while short-row gathers lower to vector loads (~3x faster
+    for both components together).
     """
     order = arrays["order"]
-    re = jnp.take(jnp.asarray(vis_re, jnp.float32), order, mode="clip")
-    im = jnp.take(jnp.asarray(vis_im, jnp.float32), order, mode="clip")
-    im = im * arrays["flip_sign"]
+    pair = jnp.stack(
+        [
+            jnp.asarray(vis_re, jnp.float32),
+            jnp.asarray(vis_im, jnp.float32),
+        ],
+        axis=1,
+    )
+    taken = jnp.take(pair, order, axis=0, mode="clip")
+    re = taken[:, 0]
+    im = taken[:, 1] * arrays["flip_sign"]
     if plan.wstacking:
         phase = (-2.0 * np.pi * plan.n_mid) * arrays["ws"]
         cos = jnp.cos(phase)
@@ -307,7 +319,12 @@ def _fft2_from_image(arrays, img_re, img_im, crop0, ngrid):
 
 
 def _fold_wraps(plan: GridderPlan, grid):
-    """Fold the padded alloc frame back onto the periodic N x N grid."""
+    """
+    Fold the padded alloc frame back onto the periodic N x N grid.
+    (The ``.at[].add`` form measures faster end-to-end than a
+    concatenation rewrite: XLA's copy placement here also feeds the
+    FFT stage a friendlier layout.)
+    """
     N, W = plan.ngrid, plan.support
     g = grid[W : W + N, :]
     g = g.at[0:W, :].add(grid[W + N : N + 2 * W, :])
@@ -586,17 +603,16 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
                 acc_re * sin + acc_im * cos,
             )
         acc_im = acc_im * arrays["flip_sign"]
-        out_re = (
-            jnp.zeros((num_out,), jnp.float32)
+        # Scatter-ADD: duplicated lane straddlers (ops/plan.py) carry
+        # two partial contributions per source sample; padded slots
+        # index num_vis_data and are dropped. One (N, 2) row scatter —
+        # element scatters serialize on TPU (see _prepare_sorted_vis).
+        pair = (
+            jnp.zeros((num_out, 2), jnp.float32)
             .at[arrays["order"]]
-            .set(acc_re, mode="drop")
+            .add(jnp.stack([acc_re, acc_im], axis=1), mode="drop")
         )
-        out_im = (
-            jnp.zeros((num_out,), jnp.float32)
-            .at[arrays["order"]]
-            .set(acc_im, mode="drop")
-        )
-        return out_re, out_im
+        return pair[:, 0], pair[:, 1]
 
     if mode.startswith("pallas"):
 

@@ -79,24 +79,70 @@ def pack_plan_columns(plan: GridderPlan) -> np.ndarray:
     return packed
 
 
-def _dot3_bf16(lhs, rhs, contract):
+def _dot3_pair_m(lhs_a, lhs_b, rhs, m):
     """
-    f32-accurate contraction from three native bf16 MXU passes
-    (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi): Mosaic supports neither
-    HIGH nor HIGHEST dot precision in-kernel, and single-pass bf16
-    (2^-8 products) misses the gridder's 1e-4..1e-5 accuracy contract.
+    Two f32-accurate (m, B) x (B, n) contractions against a SHARED
+    right operand, with the bf16x3 precision passes stacked along the
+    M axis: one (4m, B) dot against rhs_hi plus one (2m, B) dot
+    against rhs_lo. Six independent 128-row dots would serialize on a
+    single MXU tile each; the stacked forms present 4 and 2 M-tiles
+    per instruction for the MXU array to fill. Contraction is over
+    the LAST axis of both operands.
     """
-    lhs_hi = lhs.astype(jnp.bfloat16)
-    rhs_hi = rhs.astype(jnp.bfloat16)
-    lhs_lo = (lhs - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    rhs_lo = (rhs - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    contract = (((1,), (1,)), ((), ()))
+    a_hi = lhs_a.astype(jnp.bfloat16)
+    b_hi = lhs_b.astype(jnp.bfloat16)
+    a_lo = (lhs_a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (lhs_b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    r_hi = rhs.astype(jnp.bfloat16)
+    r_lo = (rhs - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def dot(a, b):
-        return lax.dot_general(
-            a, b, contract, preferred_element_type=jnp.float32
-        )
+    big = lax.dot_general(
+        jnp.concatenate([a_hi, a_lo, b_hi, b_lo], axis=0),
+        r_hi,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    cross = lax.dot_general(
+        jnp.concatenate([a_hi, b_hi], axis=0),
+        r_lo,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    out_a = big[0:m] + big[m : 2 * m] + cross[0:m]
+    out_b = big[2 * m : 3 * m] + big[3 * m : 4 * m] + cross[m : 2 * m]
+    return out_a, out_b
 
-    return dot(lhs_hi, rhs_hi) + dot(lhs_hi, rhs_lo) + dot(lhs_lo, rhs_hi)
+
+def _dot3_pair_m0(lhs_a, lhs_b, rhs, m):
+    """
+    As :func:`_dot3_pair_m` but contracting the FIRST axis of both
+    operands (the degrid direction): lhs (K, m) x rhs (K, n) -> (m, n),
+    passes stacked along the lhs free axis.
+    """
+    contract = (((0,), (0,)), ((), ()))
+    a_hi = lhs_a.astype(jnp.bfloat16)
+    b_hi = lhs_b.astype(jnp.bfloat16)
+    a_lo = (lhs_a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (lhs_b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    r_hi = rhs.astype(jnp.bfloat16)
+    r_lo = (rhs - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    big = lax.dot_general(
+        jnp.concatenate([a_hi, a_lo, b_hi, b_lo], axis=1),
+        r_hi,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    cross = lax.dot_general(
+        jnp.concatenate([a_hi, b_hi], axis=1),
+        r_lo,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    out_a = big[0:m] + big[m : 2 * m] + cross[0:m]
+    out_b = big[2 * m : 3 * m] + big[3 * m : 4 * m] + cross[m : 2 * m]
+    return out_a, out_b
 
 
 def _decode_step(step_val, step_aux, j):
@@ -209,9 +255,9 @@ def _grid_strip_kernel_factory(plan: GridderPlan):
             )
             vre = pack_buf[par][4:5, :]
             vim = pack_buf[par][5:6, :]
-            contract = (((1,), (1,)), ((), ()))
-            patch_re = _dot3_bf16(ax * (vre * amp), ay, contract)
-            patch_im = _dot3_bf16(ax * (vim * amp), ay, contract)
+            patch_re, patch_im = _dot3_pair_m(
+                ax * (vre * amp), ax * (vim * amp), ay, PX
+            )
             oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
             strip_re[sbuf, :, pl.ds(oy, PY)] = (
                 strip_re[sbuf, :, pl.ds(oy, PY)] + patch_re
@@ -400,9 +446,9 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
             oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
             patch_re = gbuf_re[sbuf, :, pl.ds(oy, PY)]
             patch_im = gbuf_im[sbuf, :, pl.ds(oy, PY)]
-            contract0 = (((0,), (0,)), ((), ()))
-            t_re = _dot3_bf16(patch_re, ax, contract0)  # (PY, B)
-            t_im = _dot3_bf16(patch_im, ax, contract0)
+            t_re, t_im = _dot3_pair_m0(
+                patch_re, patch_im, ax, PY
+            )  # (PY, B) each
             con_re = jnp.sum(t_re * ay, axis=0, keepdims=True) * amp
             con_im = jnp.sum(t_im * ay, axis=0, keepdims=True) * amp
 

@@ -45,11 +45,15 @@ from .kernels import (
 
 SPEED_OF_LIGHT = 299792458.0
 
-#: Patch shape in grid cells: sublane axis x lane axis. The lane axis
-#: is 256 so tile_y = 128 keeps patch origins 128-aligned (TPU memory
-#: tiling); the sublane axis is the register-tile 128.
+#: Patch shape in grid cells: sublane axis x lane axis. Both are one
+#: register tile (128): patch origins are 128-aligned on the lane axis
+#: (TPU memory tiling), and visibilities whose lane footprint straddles
+#: a 128-cell window boundary are DUPLICATED into both windows (the ES
+#: kernel zeroes out-of-window cells automatically), so the gridding
+#: contraction never pays for a second 128-lane MXU chunk. The straddle
+#: fraction is (support - 1) / 128 ~ 4% extra slots.
 DEFAULT_PATCH_X = 128
-DEFAULT_PATCH_Y = 256
+DEFAULT_PATCH_Y = 128
 
 #: Visibilities per block: the contraction length of the per-block
 #: gridding matmul. 128 = one MXU pass; smaller blocks raise the slot
@@ -582,10 +586,12 @@ def make_plan(
 
     # --- uv tiling -----------------------------------------------------
     # Sublane axis: origins must be 8-aligned; lane axis: 128-aligned
-    # (TPU memory tiling constraints on dynamic DMA offsets).
+    # (TPU memory tiling constraints on dynamic DMA offsets). The lane
+    # axis tiles are the full 128-cell patch windows; lane straddlers
+    # are duplicated into both windows (see DEFAULT_PATCH_Y).
     tile_x = ((patch_x - support + 1) // 8) * 8
-    tile_y = patch_y - 128
-    if tile_x <= 0 or patch_y < 128 + support - 1:
+    tile_y = patch_y
+    if tile_x <= 0 or support >= patch_y:
         raise ValueError(
             f"support {support} too large for patch "
             f"({patch_x}, {patch_y})"
@@ -603,8 +609,9 @@ def make_plan(
     ntx = max_start // tile_x + 1
     num_strips = max(ntx, -(-(nalloc_min - carry) // tile_x))
     nalloc_x = num_strips * tile_x + carry
-    nty = max_start // tile_y + 1
-    nalloc_y = max((nty - 1) * tile_y + patch_y, nalloc_min)
+    # Lane alloc: whole 128-cell windows covering every footprint end
+    # (duplicated straddlers land one window above their start).
+    nalloc_y = max(max_start + support, nalloc_min)
     nalloc_y = -(-nalloc_y // 128) * 128
 
     # Lane segmentation: cap the strip-buffer width so the kernels'
@@ -619,6 +626,10 @@ def make_plan(
         -(-(nalloc_y - overhang) // num_y_segments) + 127
     ) // 128 * 128
     nalloc_y = num_y_segments * seg_lanes + overhang
+    # Lane-window count for the (x-tile, y-window) key: every window of
+    # the final alloc is addressable so duplicated straddlers decode
+    # injectively via (tile % nty).
+    nty = nalloc_y // tile_y
 
     if use_native:
         cols = _native.plan_arrays(
@@ -635,9 +646,20 @@ def make_plan(
             dw=dw,
             nplanes=num_bins,
         )
-        # Stable sort by the composite (tile, wbin) key
-        order = _native.argsort_i64(cols["key"])
-        key_sorted = cols["key"][order]
+        # Duplicate lane straddlers into the window above (key + one
+        # y-window == key + num_bins), then stable-sort the extended
+        # set by the composite (tile, wbin) key.
+        straddle = (cols["y0"] % tile_y) > (tile_y - support)
+        dup = np.flatnonzero(straddle)
+        src_ext = np.concatenate(
+            [np.arange(num_vis, dtype=np.int64), dup]
+        )
+        key_ext = np.concatenate(
+            [cols["key"], cols["key"][dup] + num_bins]
+        )
+        order_ext = _native.argsort_i64(key_ext)
+        order = src_ext[order_ext]
+        key_sorted = key_ext[order_ext]
         tile_sorted = key_sorted // num_bins
         wbin_sorted = key_sorted % num_bins
         x0_sorted = _native.gather(cols["x0"], order)
@@ -655,7 +677,6 @@ def make_plan(
         y = np.mod(v / du + ngrid / 2.0, ngrid) + support
         x0 = np.floor(x).astype(np.int64) - half + 1
         y0 = np.floor(y).astype(np.int64) - half + 1
-        tile_id = (x0 // tile_x) * nty + (y0 // tile_y)
 
         if wstacking:
             wbin = np.floor((w - bin_origin) / dw).astype(np.int64)
@@ -663,12 +684,22 @@ def make_plan(
         else:
             wbin = np.zeros(num_vis, dtype=np.int64)
 
-        # Sort by (tile, wbin): tile-major so each block has one patch
-        # origin; wbin-minor so a block's w extent (hence the set of
-        # planes it touches) stays narrow.
-        order = np.lexsort((wbin, tile_id))
-        tile_sorted = tile_id[order]
-        wbin_sorted = wbin[order]
+        # Duplicate lane straddlers into the window above, then sort
+        # the extended set by (tile, wbin): tile-major so each block
+        # has one patch origin; wbin-minor so a block's w extent
+        # (hence the set of planes it touches) stays narrow.
+        straddle = (y0 % tile_y) > (tile_y - support)
+        dup = np.flatnonzero(straddle)
+        src_ext = np.concatenate(
+            [np.arange(num_vis, dtype=np.int64), dup]
+        )
+        yt_ext = np.concatenate([y0 // tile_y, y0[dup] // tile_y + 1])
+        tile_ext = (x0 // tile_x)[src_ext] * nty + yt_ext
+        wbin_ext = wbin[src_ext]
+        order_ext = np.lexsort((wbin_ext, tile_ext))
+        order = src_ext[order_ext]
+        tile_sorted = tile_ext[order_ext]
+        wbin_sorted = wbin_ext[order_ext]
         x0_sorted = x0[order].astype(np.int32)
         y0_sorted = y0[order].astype(np.int32)
         fx_sorted = (x - x0)[order].astype(np.float32)
@@ -679,8 +710,11 @@ def make_plan(
     # --- block decomposition (in sorted space) -------------------------
     # Blocks are (tile, wbin)-pure: every visibility in a block shares
     # one patch origin AND one w data bin, so the strip kernel grids a
-    # block onto exactly its W-plane window.
-    if num_vis:
+    # block onto exactly its W-plane window. The sorted space includes
+    # the duplicated lane straddlers (``order`` maps slots to source
+    # samples, with duplicates).
+    num_sorted = len(order)
+    if num_sorted:
         boundaries = (
             np.flatnonzero(
                 (np.diff(tile_sorted) != 0)
@@ -689,7 +723,7 @@ def make_plan(
             + 1
         )
         group_starts = np.concatenate(([0], boundaries))
-        group_ends = np.concatenate((boundaries, [num_vis]))
+        group_ends = np.concatenate((boundaries, [num_sorted]))
         num_per_group = -(-(group_ends - group_starts) // block)
         sorted_start = np.concatenate(
             [
@@ -764,7 +798,7 @@ def make_plan(
     slot_src = np.where(
         slot_valid,
         sorted_start_padded[slot_block] + slot_lane,
-        num_vis,
+        num_sorted,
     )
 
     def _slotted(sorted_values, pad_value, dtype):
