@@ -133,10 +133,15 @@ def plan_host_arrays(
     consumes are omitted — at production scale they are GBs of
     transfer/HBM the kernels never read.
     """
+    # Static per-slot w-shift phase factors (exp(-i 2 pi n_mid w_s)):
+    # computed once at staging instead of 2N transcendentals per call.
+    phase = (-2.0 * np.pi * plan.n_mid) * plan.ws.astype(np.float64)
     arrays = {
         "order": plan.order,
         "flip_sign": np.where(plan.flip, -1.0, 1.0).astype(np.float32),
         "ws": plan.ws,
+        "phase_cos": np.cos(phase).astype(np.float32),
+        "phase_sin": np.sin(phase).astype(np.float32),
         "block_oy": plan.block_oy,
         "plane_w": plan.plane_w,
         # Strip-kernel step program (ops/plan.py:build_step_tables)
@@ -240,9 +245,8 @@ def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_re, vis_im):
     re = taken[:, 0]
     im = taken[:, 1] * arrays["flip_sign"]
     if plan.wstacking:
-        phase = (-2.0 * np.pi * plan.n_mid) * arrays["ws"]
-        cos = jnp.cos(phase)
-        sin = jnp.sin(phase)
+        cos = arrays["phase_cos"]
+        sin = arrays["phase_sin"]
         re, im = re * cos - im * sin, re * sin + im * cos
     return re, im
 
@@ -595,9 +599,9 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
     def _finalize(arrays, acc_re, acc_im):
         """Post-phase, conjugate flips, scatter back to input order."""
         if plan.wstacking:
-            phase = (2.0 * np.pi * plan.n_mid) * arrays["ws"]
-            cos = jnp.cos(phase)
-            sin = jnp.sin(phase)
+            # Adjoint post-phase: conjugate of the staged pre-phase.
+            cos = arrays["phase_cos"]
+            sin = -arrays["phase_sin"]
             acc_re, acc_im = (
                 acc_re * cos - acc_im * sin,
                 acc_re * sin + acc_im * cos,
