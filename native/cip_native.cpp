@@ -13,17 +13,45 @@
 //
 // Build: make -C native   (produces libcipnative.so)
 
+#include <sys/mman.h>
+
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+
 #include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
 
 constexpr double kSpeedOfLight = 299792458.0;
+
+bool debug_timing() {
+    static const bool on = [] {
+        const char* v = std::getenv("CIP_NATIVE_DEBUG");
+        return v && v[0] == '1';
+    }();
+    return on;
+}
+
+struct PhaseTimer {
+    std::chrono::steady_clock::time_point t =
+        std::chrono::steady_clock::now();
+    void mark(const char* name) {
+        if (!debug_timing()) return;
+        auto now = std::chrono::steady_clock::now();
+        std::fprintf(stderr, "[cip_native] %-18s %.3f s\n", name,
+                     std::chrono::duration<double>(now - t).count());
+        t = now;
+    }
+};
 
 int num_threads() {
     unsigned n = std::thread::hardware_concurrency();
@@ -48,6 +76,51 @@ void parallel_for(int64_t n, Fn fn) {
     }
     for (auto& th : threads) th.join();
 }
+
+// Large scratch buffer backed by MAP_POPULATE'd anonymous memory.
+// On virtualized hosts with lazily-backed RAM, single-threaded
+// first-touch page faults run at ~64 MB/s while MAP_POPULATE
+// pre-faults at >3 GB/s (measured on a cloud TPU VM); vector::resize
+// zero-fills on one thread and pays the slow path for every buffer.
+template <typename T>
+class PBuf {
+  public:
+    PBuf() = default;
+    explicit PBuf(int64_t n) { reset(n); }
+    ~PBuf() { release(); }
+    PBuf(const PBuf&) = delete;
+    PBuf& operator=(const PBuf&) = delete;
+    void reset(int64_t n) {
+        release();
+        n_ = n;
+        if (n <= 0) return;
+        bytes_ = static_cast<size_t>(n) * sizeof(T);
+        void* p = mmap(nullptr, bytes_, PROT_READ | PROT_WRITE,
+                       MAP_PRIVATE | MAP_ANONYMOUS | MAP_POPULATE, -1, 0);
+        if (p == MAP_FAILED) {
+            // Fall back to plain mmap (still zeroed, lazily faulted).
+            p = mmap(nullptr, bytes_, PROT_READ | PROT_WRITE,
+                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+        }
+        data_ = static_cast<T*>(p);
+    }
+    void release() {
+        if (data_) munmap(data_, bytes_);
+        data_ = nullptr;
+        n_ = 0;
+        bytes_ = 0;
+    }
+    T* data() { return data_; }
+    const T* data() const { return data_; }
+    T& operator[](int64_t i) { return data_[i]; }
+    const T& operator[](int64_t i) const { return data_[i]; }
+    int64_t size() const { return n_; }
+
+  private:
+    T* data_ = nullptr;
+    int64_t n_ = 0;
+    size_t bytes_ = 0;
+};
 
 }  // namespace
 
@@ -141,12 +214,21 @@ void cip_plan_arrays(const double* uvw, int64_t nrow, const double* freqs,
 // order[i] receives the index of the i-th smallest key. Keys are
 // non-negative (tile ids and bins).
 void cip_argsort_i64(const int64_t* keys, int64_t n, int64_t* order) {
-    std::vector<int64_t> idx_a(n), idx_b(n);
-    std::vector<int64_t> key_a(n), key_b(n);
-    for (int64_t i = 0; i < n; ++i) { idx_a[i] = i; key_a[i] = keys[i]; }
-
+    PBuf<int64_t> idx_a(n), idx_b(n);
+    PBuf<int64_t> key_a(n), key_b(n);
+    int nt0 = num_threads();
+    std::vector<int64_t> maxs(nt0, 0);
+    parallel_for(n, [&](int t, int64_t b, int64_t e) {
+        int64_t mk = 0;
+        for (int64_t i = b; i < e; ++i) {
+            idx_a[i] = i;
+            key_a[i] = keys[i];
+            mk = std::max(mk, keys[i]);
+        }
+        maxs[t] = mk;
+    });
     int64_t maxkey = 0;
-    for (int64_t i = 0; i < n; ++i) maxkey = std::max(maxkey, key_a[i]);
+    for (int t = 0; t < nt0; ++t) maxkey = std::max(maxkey, maxs[t]);
 
     const int kRadix = 256;
     int passes = 0;
@@ -208,6 +290,402 @@ void cip_gather_u8(const uint8_t* src, const int64_t* order, int64_t n,
                    uint8_t* out) {
     parallel_for(n, [&](int, int64_t b, int64_t e) {
         for (int64_t i = b; i < e; ++i) out[i] = src[order[i]];
+    });
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Fused slot-plan builder: (uvw, freqs) -> final block-slot layout in
+// one multithreaded pass. Replaces a chain of ~15 full-array numpy
+// passes (straddle duplication, key sort, gathers, block split, slot
+// scatter) that dominated time-to-first-image (tens of seconds at
+// bench scale, minutes at production scale).
+// Two-phase C ABI (sizes are data-dependent): cip_slot_plan_build
+// returns a handle, cip_slot_plan_sizes reports num_blocks, then
+// cip_slot_plan_export fills caller-allocated (numpy) outputs and
+// cip_slot_plan_free releases the handle.
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct SlotPlan {
+    int64_t n = 0;           // source samples
+    int64_t support = 0;
+    int64_t num_sorted = 0;  // n + duplicated lane straddlers
+    int64_t num_blocks = 0;
+    int64_t block = 0;
+    int64_t nbins = 0, ntiles_y = 0, tile_x = 0, tile_y = 0;
+    // per source sample
+    PBuf<uint8_t> flip;
+    PBuf<int32_t> x0, y0;
+    PBuf<float> fx, fy, ws;
+    // per sorted slot
+    PBuf<int64_t> src_sorted;
+    // per block
+    PBuf<int64_t> start_sorted;
+    PBuf<int32_t> blen, box, boy, bin_lo, bin_hi;
+};
+
+std::mutex g_plans_mu;
+std::unordered_map<int64_t, SlotPlan*> g_plans;
+int64_t g_next_handle = 1;
+
+}  // namespace
+
+extern "C" {
+
+int64_t cip_slot_plan_build(
+    const double* uvw, int64_t nrow, const double* freqs, int64_t nchan,
+    double inv_du, int64_t ngrid, int64_t support, int64_t tile_x,
+    int64_t tile_y, int64_t ntiles_y, int wstacking, double w0_plane,
+    double inv_dw, int64_t nbins, int64_t block) {
+    PhaseTimer timer;
+    auto* plan = new SlotPlan();
+    const int64_t n = nrow * nchan;
+    plan->n = n;
+    plan->support = support;
+    plan->block = block;
+    plan->nbins = nbins;
+    plan->ntiles_y = ntiles_y;
+    plan->tile_x = tile_x;
+    plan->tile_y = tile_y;
+
+    plan->flip.reset(n);
+    plan->x0.reset(n);
+    plan->y0.reset(n);
+    plan->fx.reset(n);
+    plan->fy.reset(n);
+    plan->ws.reset(n);
+    PBuf<int64_t> key(n);
+    timer.mark("alloc_sample");
+
+    // Per-sample geometry + (tile, wbin) key; count lane straddlers.
+    const int64_t half = support / 2;
+    const double half_grid = static_cast<double>(ngrid) / 2.0;
+    const int64_t straddle_min = tile_y - support;
+    int nt = num_threads();
+    std::vector<int64_t> dup_counts(nt, 0);
+    parallel_for(nrow, [&](int t, int64_t begin, int64_t end) {
+        int64_t dups = 0;
+        for (int64_t r = begin; r < end; ++r) {
+            const double bu = uvw[3 * r + 0];
+            const double bv = uvw[3 * r + 1];
+            const double bw = uvw[3 * r + 2];
+            for (int64_t c = 0; c < nchan; ++c) {
+                const int64_t i = r * nchan + c;
+                const double scale = freqs[c] / kSpeedOfLight;
+                double u = bu * scale, v = bv * scale, w = bw * scale;
+                const bool neg = w < 0.0;
+                if (neg) { u = -u; v = -v; w = -w; }
+                plan->flip[i] = neg ? 1 : 0;
+                plan->ws[i] = static_cast<float>(w);
+
+                double x = std::fmod(u * inv_du + half_grid, (double)ngrid);
+                if (x < 0) x += ngrid;
+                x += support;
+                double y = std::fmod(v * inv_du + half_grid, (double)ngrid);
+                if (y < 0) y += ngrid;
+                y += support;
+
+                const int64_t cx = (int64_t)std::floor(x) - half + 1;
+                const int64_t cy = (int64_t)std::floor(y) - half + 1;
+                plan->x0[i] = (int32_t)cx;
+                plan->y0[i] = (int32_t)cy;
+                plan->fx[i] = (float)(x - (double)cx);
+                plan->fy[i] = (float)(y - (double)cy);
+
+                int64_t bin = 0;
+                if (wstacking) {
+                    bin = (int64_t)std::floor((w - w0_plane) * inv_dw);
+                    bin = std::max<int64_t>(0,
+                          std::min<int64_t>(bin, nbins - 1));
+                }
+                const int64_t tid = (cx / tile_x) * ntiles_y
+                                  + (cy / tile_y);
+                key[i] = tid * nbins + bin;
+                if ((cy % tile_y) > straddle_min) ++dups;
+            }
+        }
+        dup_counts[t] += dups;
+    });
+    timer.mark("geometry");
+
+    int64_t ndup = 0;
+    for (int t = 0; t < nt; ++t) ndup += dup_counts[t];
+    const int64_t ns = n + ndup;
+    plan->num_sorted = ns;
+
+    // Extended (sample, key) set: originals then duplicated straddlers
+    // re-keyed one lane window up (tile id + 1 == key + nbins).
+    PBuf<int64_t> src_ext(ns), key_ext(ns);
+    {
+        // Per-thread duplicate offsets: stable chunk-ordered append.
+        int64_t chunk = (nrow + nt - 1) / nt;
+        std::vector<int64_t> offsets(nt + 1, 0);
+        {
+            int64_t acc = n;
+            for (int t = 0; t < nt; ++t) {
+                offsets[t] = acc;
+                acc += dup_counts[t];
+            }
+            offsets[nt] = acc;
+        }
+        parallel_for(nrow, [&](int t, int64_t begin, int64_t end) {
+            int64_t pos = offsets[t];
+            for (int64_t r = begin; r < end; ++r) {
+                for (int64_t c = 0; c < nchan; ++c) {
+                    const int64_t i = r * nchan + c;
+                    src_ext[i] = i;
+                    key_ext[i] = key[i];
+                    if ((plan->y0[i] % tile_y) > straddle_min) {
+                        src_ext[pos] = i;
+                        key_ext[pos] = key[i] + nbins;
+                        ++pos;
+                    }
+                }
+            }
+        });
+        (void)chunk;
+    }
+    timer.mark("dup_extend");
+
+    // Stable grouping by key. Keys are dense small integers
+    // (tile id * nbins + bin), so a one-pass stable counting sort
+    // beats a general radix argsort: per-thread histograms give both
+    // the scatter offsets AND the group boundaries, so no permutation
+    // array, no sorted-key array, and no boundary scan are needed.
+    plan->src_sorted.reset(ns);
+    std::vector<int64_t> group_starts;
+    std::vector<int64_t> group_keys;
+    int64_t maxkey = 0;
+    {
+        std::vector<int64_t> maxs(nt, 0);
+        parallel_for(ns, [&](int t, int64_t b, int64_t e) {
+            int64_t mk = 0;
+            for (int64_t i = b; i < e; ++i)
+                mk = std::max(mk, key_ext[i]);
+            maxs[t] = mk;
+        });
+        for (int t = 0; t < nt; ++t) maxkey = std::max(maxkey, maxs[t]);
+    }
+    const int64_t K = maxkey + 1;
+    if (K <= (int64_t(1) << 26)) {
+        // hist[t*K + k] = count of key k in thread t's range
+        // (chunk-ordered, so digit-major prefix keeps stability).
+        PBuf<int64_t> hist(static_cast<int64_t>(nt) * K);
+        const int64_t chunk = (ns + nt - 1) / nt;
+        parallel_for(ns, [&](int, int64_t b, int64_t e) {
+            // Derive the histogram slot from the position, not the
+            // lambda's thread id: parallel_for's chunking defines
+            // stability order.
+            int64_t* h = hist.data() + (b / chunk) * K;
+            for (int64_t i = b; i < e; ++i) ++h[key_ext[i]];
+        });
+        group_starts.reserve(4096);
+        group_keys.reserve(4096);
+        int64_t sum = 0;
+        for (int64_t k = 0; k < K; ++k) {
+            int64_t total = 0;
+            for (int t = 0; t < nt; ++t) {
+                int64_t& h = hist[static_cast<int64_t>(t) * K + k];
+                int64_t cur = h;
+                h = sum + total;
+                total += cur;
+            }
+            if (total) {
+                group_starts.push_back(sum);
+                group_keys.push_back(k);
+            }
+            sum += total;
+        }
+        parallel_for(ns, [&](int, int64_t b, int64_t e) {
+            int64_t* h = hist.data() + (b / chunk) * K;
+            for (int64_t i = b; i < e; ++i)
+                plan->src_sorted[h[key_ext[i]]++] = src_ext[i];
+        });
+    } else {
+        // Sparse/huge key space: general stable radix argsort.
+        PBuf<int64_t> perm(ns);
+        cip_argsort_i64(key_ext.data(), ns, perm.data());
+        PBuf<int64_t> key_sorted(ns);
+        parallel_for(ns, [&](int, int64_t b, int64_t e) {
+            for (int64_t i = b; i < e; ++i) {
+                plan->src_sorted[i] = src_ext[perm[i]];
+                key_sorted[i] = key_ext[perm[i]];
+            }
+        });
+        std::vector<std::vector<int64_t>> bounds(nt);
+        parallel_for(ns, [&](int t, int64_t b, int64_t e) {
+            auto& out = bounds[t];
+            for (int64_t i = std::max<int64_t>(b, 1); i < e; ++i)
+                if (key_sorted[i] != key_sorted[i - 1]) out.push_back(i);
+        });
+        if (ns) group_starts.push_back(0);
+        for (int t = 0; t < nt; ++t)
+            group_starts.insert(group_starts.end(), bounds[t].begin(),
+                                bounds[t].end());
+        std::sort(group_starts.begin(), group_starts.end());
+        group_keys.resize(group_starts.size());
+        for (size_t g = 0; g < group_starts.size(); ++g)
+            group_keys[g] = key_sorted[group_starts[g]];
+    }
+    const int64_t ngroups = (int64_t)group_starts.size();
+    timer.mark("group_sort");
+
+    // (tile, wbin)-pure blocks of at most `block` slots per group.
+    std::vector<int64_t> group_nb(ngroups + 1, 0);
+    for (int64_t g = 0; g < ngroups; ++g) {
+        int64_t gend = (g + 1 < ngroups) ? group_starts[g + 1] : ns;
+        group_nb[g + 1] =
+            group_nb[g] + (gend - group_starts[g] + block - 1) / block;
+    }
+    const int64_t nb = group_nb[ngroups];
+    plan->num_blocks = nb;
+    plan->start_sorted.reset(nb);
+    plan->blen.reset(nb);
+    plan->box.reset(nb);
+    plan->boy.reset(nb);
+    plan->bin_lo.reset(nb);
+    plan->bin_hi.reset(nb);
+    parallel_for(ngroups, [&](int, int64_t gb, int64_t ge) {
+        for (int64_t g = gb; g < ge; ++g) {
+            const int64_t gstart = group_starts[g];
+            const int64_t gend =
+                (g + 1 < ngroups) ? group_starts[g + 1] : ns;
+            const int64_t k = group_keys[g];
+            const int64_t tid = k / nbins;
+            const int32_t bin = (int32_t)(k % nbins);
+            const int32_t ox = (int32_t)((tid / ntiles_y) * tile_x);
+            const int32_t oy = (int32_t)((tid % ntiles_y) * tile_y);
+            int64_t bidx = group_nb[g];
+            for (int64_t s = gstart; s < gend; s += block, ++bidx) {
+                plan->start_sorted[bidx] = s;
+                plan->blen[bidx] =
+                    (int32_t)std::min<int64_t>(block, gend - s);
+                plan->box[bidx] = ox;
+                plan->boy[bidx] = oy;
+                plan->bin_lo[bidx] = bin;
+                plan->bin_hi[bidx] = bin;
+            }
+        }
+    });
+
+    timer.mark("block_split");
+    std::lock_guard<std::mutex> lock(g_plans_mu);
+    const int64_t handle = g_next_handle++;
+    g_plans[handle] = plan;
+    return handle;
+}
+
+void cip_slot_plan_sizes(int64_t handle, int64_t* num_blocks_out) {
+    std::lock_guard<std::mutex> lock(g_plans_mu);
+    auto it = g_plans.find(handle);
+    *num_blocks_out = (it != g_plans.end()) ? it->second->num_blocks : 0;
+}
+
+// Fill caller-allocated outputs. Slot arrays have num_blocks_padded *
+// block entries; blocks beyond num_blocks are padding (order =
+// pad_order, x0/y0 = support, fx/fy = 0.5, ws = 0, flip = 0, len 0).
+// Also emits the kernel-ready derived columns in the same pass:
+// packed (8, num_slots) row-major with rows {patch-relative x, patch-
+// relative y, ws, block_len broadcast, 0, 0, 0, 0}; flip_sign (+-1);
+// and the static w-shift phase factors cos/sin(phase_factor * ws).
+void cip_slot_plan_export(
+    int64_t handle, int64_t num_blocks_padded, int32_t pad_order,
+    int32_t* order, uint8_t* flip, int32_t* x0, int32_t* y0, float* fx,
+    float* fy, float* ws, int32_t* blen, int32_t* box, int32_t* boy,
+    int32_t* bin_lo, int32_t* bin_hi, float* packed, float* flip_sign,
+    double phase_factor, float* phase_cos, float* phase_sin) {
+    SlotPlan* plan;
+    {
+        std::lock_guard<std::mutex> lock(g_plans_mu);
+        plan = g_plans.at(handle);
+    }
+    const int64_t B = plan->block;
+    const int32_t pad_cell = (int32_t)plan->support;
+    const int64_t num_slots = num_blocks_padded * B;
+    // Parallelize over SLOTS: the outputs are freshly-mapped numpy
+    // buffers whose first-touch page faults dominate on lazily-backed
+    // VM memory, and a block count below parallel_for's threshold
+    // would fault them all on one thread.
+    parallel_for(num_slots, [&](int, int64_t sb, int64_t se) {
+        for (int64_t slot = sb; slot < se; ++slot) {
+            const int64_t b = slot / B;
+            const int64_t l = slot % B;
+            const bool real = b < plan->num_blocks;
+            const int64_t len = real ? plan->blen[b] : 0;
+            int32_t x0v, y0v;
+            float fxv, fyv, wsv;
+            if (l < len) {
+                const int64_t start = plan->start_sorted[b];
+                const int64_t src = plan->src_sorted[start + l];
+                order[slot] = (int32_t)src;
+                flip[slot] = plan->flip[src];
+                flip_sign[slot] = plan->flip[src] ? -1.0f : 1.0f;
+                x0v = plan->x0[src];
+                y0v = plan->y0[src];
+                fxv = plan->fx[src];
+                fyv = plan->fy[src];
+                wsv = plan->ws[src];
+            } else {
+                order[slot] = pad_order;
+                flip[slot] = 0;
+                flip_sign[slot] = 1.0f;
+                x0v = pad_cell;
+                y0v = pad_cell;
+                fxv = 0.5f;
+                fyv = 0.5f;
+                wsv = 0.0f;
+            }
+            x0[slot] = x0v;
+            y0[slot] = y0v;
+            fx[slot] = fxv;
+            fy[slot] = fyv;
+            ws[slot] = wsv;
+            const int32_t bx = real ? plan->box[b] : 0;
+            const int32_t by = real ? plan->boy[b] : 0;
+            packed[slot] = (float)(x0v - bx) + fxv;
+            packed[num_slots + slot] = (float)(y0v - by) + fyv;
+            packed[2 * num_slots + slot] = wsv;
+            packed[3 * num_slots + slot] = (float)len;
+            for (int r = 4; r < 8; ++r)
+                packed[r * num_slots + slot] = 0.0f;
+            const double ph = phase_factor * (double)wsv;
+            phase_cos[slot] = (float)std::cos(ph);
+            phase_sin[slot] = (float)std::sin(ph);
+        }
+    });
+    parallel_for(num_blocks_padded, [&](int, int64_t bb, int64_t be) {
+        for (int64_t b = bb; b < be; ++b) {
+            const bool real = b < plan->num_blocks;
+            blen[b] = real ? plan->blen[b] : 0;
+            box[b] = real ? plan->box[b] : 0;
+            boy[b] = real ? plan->boy[b] : 0;
+            bin_lo[b] = real ? plan->bin_lo[b] : 0;
+            bin_hi[b] = real ? plan->bin_hi[b] : 0;
+        }
+    });
+}
+
+void cip_slot_plan_free(int64_t handle) {
+    std::lock_guard<std::mutex> lock(g_plans_mu);
+    auto it = g_plans.find(handle);
+    if (it != g_plans.end()) {
+        delete it->second;
+        g_plans.erase(it);
+    }
+}
+
+// Static w-shift phase factors: cos/sin(factor * ws[i]) in one pass.
+void cip_phase_cossin(const float* ws, int64_t n, double factor,
+                      float* cos_out, float* sin_out) {
+    parallel_for(n, [&](int, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            const double phase = factor * (double)ws[i];
+            cos_out[i] = (float)std::cos(phase);
+            sin_out[i] = (float)std::sin(phase);
+        }
     });
 }
 

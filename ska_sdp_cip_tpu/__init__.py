@@ -21,9 +21,15 @@ Public API mirrors the reference package surface
 (reference: src/ska_sdp_cip/__init__.py:1-10).
 """
 
-from ._version import __version__
-from .invert import invert_dataset, sharded_invert_dataset
-from .io.visibility_dataset import VisibilityReader
+from .utils.hostmem import enable_malloc_reuse
+
+# Large staging buffers must reuse warm pages (see utils/hostmem.py);
+# on lazily-faulted VM memory this is a ~100x host-staging speedup.
+enable_malloc_reuse()
+
+from ._version import __version__  # noqa: E402
+from .invert import invert_dataset, sharded_invert_dataset  # noqa: E402
+from .io.visibility_dataset import VisibilityReader  # noqa: E402
 
 # Alias matching the reference's public name (MeasurementSetReader),
 # reference: src/ska_sdp_cip/__init__.py:1-10

@@ -14,6 +14,8 @@ from pathlib import Path
 
 import numpy as np
 
+from .utils.hostmem import alloc_populated
+
 _LIB = None
 _SEARCHED = False
 
@@ -65,6 +67,23 @@ def _declare(lib) -> None:
     lib.cip_gather_f32.argtypes = [fp, i64p, ct.c_int64, fp]
     lib.cip_gather_i32.argtypes = [i32p, i64p, ct.c_int64, i32p]
     lib.cip_gather_u8.argtypes = [u8p, i64p, ct.c_int64, u8p]
+    lib.cip_slot_plan_build.argtypes = [
+        dp, ct.c_int64, dp, ct.c_int64, ct.c_double, ct.c_int64,
+        ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int,
+        ct.c_double, ct.c_double, ct.c_int64, ct.c_int64,
+    ]
+    lib.cip_slot_plan_build.restype = ct.c_int64
+    lib.cip_slot_plan_sizes.argtypes = [ct.c_int64, i64p]
+    lib.cip_slot_plan_export.argtypes = [
+        ct.c_int64, ct.c_int64, ct.c_int32,
+        i32p, u8p, i32p, i32p, fp, fp, fp,
+        i32p, i32p, i32p, i32p, i32p,
+        fp, fp, ct.c_double, fp, fp,
+    ]
+    lib.cip_slot_plan_free.argtypes = [ct.c_int64]
+    lib.cip_phase_cossin.argtypes = [
+        fp, ct.c_int64, ct.c_double, fp, fp
+    ]
 
 
 def _ptr(arr, ctype):
@@ -141,6 +160,126 @@ def plan_arrays(
         _ptr(out["key"], ctypes.c_int64),
     )
     return out
+
+
+def build_slot_plan(
+    uvw: np.ndarray,
+    freqs: np.ndarray,
+    *,
+    inv_du: float,
+    ngrid: int,
+    support: int,
+    tile_x: int,
+    tile_y: int,
+    ntiles_y: int,
+    wstacking: bool,
+    w0_plane: float,
+    dw: float,
+    num_bins: int,
+    block: int,
+    min_blocks: int = 1,
+    pad_order: int = 0,
+    phase_factor: float = 0.0,
+) -> dict:
+    """
+    Fused (uvw, freqs) -> block-slot plan layout: per-slot sample
+    indices and footprint columns plus per-block metadata, produced by
+    one multithreaded C++ pass (geometry, lane-straddler duplication,
+    radix key sort, block split, slot scatter). ``num_blocks`` in the
+    result is the REAL block count; arrays are padded to
+    ``max(num_blocks, min_blocks, 1)`` blocks.
+    """
+    lib = load_library()
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    freqs = np.ascontiguousarray(freqs, np.float64)
+    handle = lib.cip_slot_plan_build(
+        _ptr(uvw, ctypes.c_double),
+        len(uvw),
+        _ptr(freqs, ctypes.c_double),
+        len(freqs),
+        ctypes.c_double(inv_du),
+        ngrid,
+        support,
+        tile_x,
+        tile_y,
+        ntiles_y,
+        int(wstacking),
+        ctypes.c_double(w0_plane),
+        ctypes.c_double(1.0 / dw),
+        num_bins,
+        block,
+    )
+    try:
+        nb = ctypes.c_int64()
+        lib.cip_slot_plan_sizes(handle, ctypes.byref(nb))
+        num_blocks = int(nb.value)
+        padded = max(num_blocks, min_blocks, 1)
+        num_slots = padded * block
+        # Pre-faulted buffers: np.empty pages fault erratically
+        # slowly on lazily-backed VM memory (see utils/hostmem.py).
+        out = {
+            "order": alloc_populated(num_slots, np.int32),
+            "flip": alloc_populated(num_slots, np.uint8),
+            "x0": alloc_populated(num_slots, np.int32),
+            "y0": alloc_populated(num_slots, np.int32),
+            "fx": alloc_populated(num_slots, np.float32),
+            "fy": alloc_populated(num_slots, np.float32),
+            "ws": alloc_populated(num_slots, np.float32),
+            "block_len": alloc_populated(padded, np.int32),
+            "block_ox": alloc_populated(padded, np.int32),
+            "block_oy": alloc_populated(padded, np.int32),
+            "bin_lo": alloc_populated(padded, np.int32),
+            "bin_hi": alloc_populated(padded, np.int32),
+            # Kernel-ready derived columns, same export pass:
+            "packed": alloc_populated(
+                8 * num_slots, np.float32
+            ).reshape(8, num_slots),
+            "flip_sign": alloc_populated(num_slots, np.float32),
+            "phase_cos": alloc_populated(num_slots, np.float32),
+            "phase_sin": alloc_populated(num_slots, np.float32),
+        }
+        lib.cip_slot_plan_export(
+            handle,
+            padded,
+            ctypes.c_int32(pad_order),
+            _ptr(out["order"], ctypes.c_int32),
+            _ptr(out["flip"], ctypes.c_uint8),
+            _ptr(out["x0"], ctypes.c_int32),
+            _ptr(out["y0"], ctypes.c_int32),
+            _ptr(out["fx"], ctypes.c_float),
+            _ptr(out["fy"], ctypes.c_float),
+            _ptr(out["ws"], ctypes.c_float),
+            _ptr(out["block_len"], ctypes.c_int32),
+            _ptr(out["block_ox"], ctypes.c_int32),
+            _ptr(out["block_oy"], ctypes.c_int32),
+            _ptr(out["bin_lo"], ctypes.c_int32),
+            _ptr(out["bin_hi"], ctypes.c_int32),
+            _ptr(out["packed"], ctypes.c_float),
+            _ptr(out["flip_sign"], ctypes.c_float),
+            ctypes.c_double(phase_factor),
+            _ptr(out["phase_cos"], ctypes.c_float),
+            _ptr(out["phase_sin"], ctypes.c_float),
+        )
+    finally:
+        lib.cip_slot_plan_free(handle)
+    out["num_blocks"] = num_blocks
+    return out
+
+
+def phase_cossin(ws: np.ndarray, factor: float) -> tuple:
+    """(cos(factor * ws), sin(factor * ws)) as float32, multithreaded."""
+    lib = load_library()
+    ws = np.ascontiguousarray(ws, np.float32)
+    cos_out = alloc_populated(len(ws), np.float32)
+    sin_out = alloc_populated(len(ws), np.float32)
+    lib.cip_phase_cossin(
+        _ptr(ws, ctypes.c_float),
+        len(ws),
+        ctypes.c_double(factor),
+        _ptr(cos_out, ctypes.c_float),
+        _ptr(sin_out, ctypes.c_float),
+    )
+    return cos_out, sin_out
 
 
 def argsort_i64(keys: np.ndarray) -> np.ndarray:

@@ -80,18 +80,20 @@ def split_complex(vis) -> tuple:
     )
 
 
-def compute_geometry_maps(plan: GridderPlan) -> dict:
+def _geometry_maps(plan: GridderPlan, arrays: dict) -> tuple:
     """
-    Image-domain geometry maps, computed ON DEVICE (jit): ``inv_corr``
-    (fused uv-taper x w-taper x 1/n correction) and ``nm1s``
-    (n(l,m) - 1 - n_mid, the w-screen argument). These are O(npix^2)
-    transcendental maps — trivial on the TPU, but a quadrature in host
-    numpy takes minutes at production sizes (round-1 bench spent 266 s
-    here), so they are never materialized on the host.
+    Image-domain geometry maps ``(inv_corr, nm1s)``: the fused
+    uv-taper x w-taper x 1/n correction and n(l,m) - 1 - n_mid (the
+    w-screen argument). Traceable — called INSIDE the jitted
+    invert/predict programs so the maps cost a few ms of VPU time per
+    call instead of a whole extra remote compile + O(npix^2) staging
+    (a separate jitted builder added ~4 minutes of relay compile to
+    time-to-first-image; host-numpy quadrature took minutes at
+    production sizes).
     """
     npix, ngrid = plan.num_pixels, plan.ngrid
-    nodes = jnp.asarray(plan.quad_nodes, jnp.float32)
-    folded = jnp.asarray(plan.quad_folded, jnp.float32)
+    nodes = arrays["quad_nodes"]
+    folded = arrays["quad_folded"]
     support = plan.support
 
     def correction(k):
@@ -100,23 +102,41 @@ def compute_geometry_maps(plan: GridderPlan) -> dict:
         )
         return support * jnp.sum(jnp.cos(angles) * folded, axis=-1)
 
-    @jax.jit
-    def build():
-        pix = jnp.arange(npix, dtype=jnp.float32) - npix // 2
-        cuv = correction(pix / ngrid)
-        corr = jnp.outer(cuv, cuv)
-        axis = pix * plan.pixel_size_lm
-        r2 = axis[:, None] ** 2 + axis[None, :] ** 2
-        nm1 = -r2 / (1.0 + jnp.sqrt(jnp.maximum(1.0 - r2, 0.0)))
-        if plan.wstacking:
-            cw = correction(plan.dw * (nm1 - plan.n_mid))
-            corr = corr * cw * (nm1 + 1.0)
-        return {
-            "inv_corr": 1.0 / corr,
-            "nm1s": nm1 - plan.n_mid,
-        }
+    pix = jnp.arange(npix, dtype=jnp.float32) - npix // 2
+    cuv = correction(pix / ngrid)
+    corr = jnp.outer(cuv, cuv)
+    axis = pix * plan.pixel_size_lm
+    r2 = axis[:, None] ** 2 + axis[None, :] ** 2
+    nm1 = -r2 / (1.0 + jnp.sqrt(jnp.maximum(1.0 - r2, 0.0)))
+    if plan.wstacking:
+        cw = correction(plan.dw * (nm1 - plan.n_mid))
+        corr = corr * cw * (nm1 + 1.0)
+    return 1.0 / corr, nm1 - plan.n_mid
 
-    return build()
+
+def _quad_arrays(plan: GridderPlan) -> dict:
+    """The (tiny) staged quadrature rule `_geometry_maps` reads."""
+    return {
+        "quad_nodes": plan.quad_nodes.astype(np.float32),
+        "quad_folded": plan.quad_folded.astype(np.float32),
+    }
+
+
+def compute_geometry_maps(plan: GridderPlan) -> dict:
+    """
+    Standalone device evaluation of the geometry maps (as a dict) —
+    kept for tests and host-side consumers; the hot paths compute the
+    maps inline inside their own jitted programs via
+    :func:`_geometry_maps` and never stage them.
+    """
+    arrays = {
+        key: jnp.asarray(value)
+        for key, value in _quad_arrays(plan).items()
+    }
+    inv_corr, nm1s = jax.jit(
+        lambda a: _geometry_maps(plan, a)
+    )(arrays)
+    return {"inv_corr": inv_corr, "nm1s": nm1s}
 
 
 def plan_host_arrays(
@@ -133,15 +153,32 @@ def plan_host_arrays(
     consumes are omitted — at production scale they are GBs of
     transfer/HBM the kernels never read.
     """
-    # Static per-slot w-shift phase factors (exp(-i 2 pi n_mid w_s)):
-    # computed once at staging instead of 2N transcendentals per call.
-    phase = (-2.0 * np.pi * plan.n_mid) * plan.ws.astype(np.float64)
+    # Static per-slot w-shift phase factors (exp(-i 2 pi n_mid w_s))
+    # and flip signs: precomputed by the native planner's export pass
+    # when available, else one numpy pass here.
+    from .. import native as _native
+
+    if plan.phase_cos is not None:
+        phase_cos, phase_sin = plan.phase_cos, plan.phase_sin
+    else:
+        factor = -2.0 * np.pi * plan.n_mid
+        if _native.available() and plan.num_vis:
+            phase_cos, phase_sin = _native.phase_cossin(plan.ws, factor)
+        else:
+            phase = factor * plan.ws.astype(np.float64)
+            phase_cos = np.cos(phase).astype(np.float32)
+            phase_sin = np.sin(phase).astype(np.float32)
+    flip_sign = (
+        plan.flip_sign
+        if plan.flip_sign is not None
+        else np.where(plan.flip, -1.0, 1.0).astype(np.float32)
+    )
     arrays = {
         "order": plan.order,
-        "flip_sign": np.where(plan.flip, -1.0, 1.0).astype(np.float32),
+        "flip_sign": flip_sign,
         "ws": plan.ws,
-        "phase_cos": np.cos(phase).astype(np.float32),
-        "phase_sin": np.sin(phase).astype(np.float32),
+        "phase_cos": phase_cos,
+        "phase_sin": phase_sin,
         "block_oy": plan.block_oy,
         "plane_w": plan.plane_w,
         # Strip-kernel step program (ops/plan.py:build_step_tables)
@@ -152,6 +189,7 @@ def plan_host_arrays(
         "first_block": plan.first_block,
         "last_blocks": plan.last_blocks,
     }
+    arrays.update(_quad_arrays(plan))
     if resolve_gridder_mode(gridder) == "xla":
         arrays.update(
             {
@@ -175,9 +213,12 @@ def plan_host_arrays(
                 ).astype(np.int32),
             }
         )
-    from .pallas_gridder import pack_plan_columns
+    if plan.packed is not None:
+        arrays["packed"] = plan.packed
+    else:
+        from .pallas_gridder import pack_plan_columns
 
-    arrays["packed"] = pack_plan_columns(plan)
+        arrays["packed"] = pack_plan_columns(plan)
     # Shifted factors: fftshift/ifftshift ride inside the DFT
     # matrices instead of costing full-array roll passes.
     fft_plan = make_fft_plan(plan.ngrid, shifted=True)
@@ -196,15 +237,14 @@ def plan_host_arrays(
 
 def plan_device_arrays(plan: GridderPlan) -> dict:
     """
-    Device-resident gridding-program inputs: host-staged per-vis/block
-    arrays plus device-computed geometry maps.
+    Device-resident gridding-program inputs (pure staging — the
+    image-domain geometry maps are computed inside the jitted
+    invert/predict programs from the staged quadrature rule).
     """
-    arrays = {
+    return {
         key: jnp.asarray(value)
         for key, value in plan_host_arrays(plan).items()
     }
-    arrays.update(compute_geometry_maps(plan))
-    return arrays
 
 
 def plan_device_arrays_host(plan: GridderPlan) -> dict:
@@ -396,6 +436,7 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
 
         @jax.jit
         def invert_pallas(arrays: dict, vis_re, vis_im):
+            inv_corr, nm1s = _geometry_maps(plan, arrays)
             re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
             # Splice the split visibilities into the packed rows so
             # each block-step costs a single input DMA.
@@ -442,7 +483,7 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
                     arrays, grid_re, grid_im, crop0, npix
                 )
                 if plan.wstacking:
-                    theta = (-2.0 * np.pi * w_p) * arrays["nm1s"]
+                    theta = (-2.0 * np.pi * w_p) * nm1s
                     contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(
                         theta
                     )
@@ -455,12 +496,13 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
                 jnp.zeros((npix, npix), jnp.float32),
                 jnp.arange(plan.nplanes),
             )
-            return image * arrays["inv_corr"]
+            return image * inv_corr
 
         return invert_pallas
 
     @jax.jit
     def invert(arrays: dict, vis_re, vis_im):
+        inv_corr, nm1s = _geometry_maps(plan, arrays)
         re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
 
         def plane_body(image_accum, p):
@@ -538,7 +580,7 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
                 arrays, grid_re, grid_im, crop0, npix
             )
             if plan.wstacking:
-                theta = (-2.0 * np.pi * w_p) * arrays["nm1s"]
+                theta = (-2.0 * np.pi * w_p) * nm1s
                 # Only the real part survives the plane sum
                 contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(theta)
             else:
@@ -550,7 +592,7 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
             jnp.zeros((npix, npix), jnp.float32),
             jnp.arange(plan.nplanes),
         )
-        return image * arrays["inv_corr"]
+        return image * inv_corr
 
     return invert
 
@@ -581,10 +623,10 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
             plan, interpret=(mode == "pallas_interpret")
         )
 
-    def _screened_alloc(arrays, img0, w_p):
+    def _screened_alloc(arrays, img0, w_p, nm1s):
         """Screen, pad, FFT, unfold one plane's grid (XLA side)."""
         if plan.wstacking:
-            theta = (2.0 * np.pi * w_p) * arrays["nm1s"]
+            theta = (2.0 * np.pi * w_p) * nm1s
             img_re = img0 * jnp.cos(theta)
             img_im = img0 * jnp.sin(theta)
         else:
@@ -626,7 +668,8 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
 
         @jax.jit
         def predict_pallas(arrays: dict, image):
-            img0 = jnp.asarray(image, jnp.float32) * arrays["inv_corr"]
+            inv_corr, nm1s = _geometry_maps(plan, arrays)
+            img0 = jnp.asarray(image, jnp.float32) * inv_corr
 
             def degrid_segment(p, g, alloc_re, alloc_im, w_p):
                 return degrid_plane(
@@ -647,7 +690,9 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
             def plane_body(carry, p):
                 acc = carry
                 w_p = arrays["plane_w"][p]
-                alloc_re, alloc_im = _screened_alloc(arrays, img0, w_p)
+                alloc_re, alloc_im = _screened_alloc(
+                    arrays, img0, w_p, nm1s
+                )
                 if NSEG == 1:
                     contrib = degrid_segment(
                         p, 0, alloc_re, alloc_im, w_p
@@ -675,7 +720,8 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
 
     @jax.jit
     def predict(arrays: dict, image):
-        img0 = jnp.asarray(image, jnp.float32) * arrays["inv_corr"]
+        inv_corr, nm1s = _geometry_maps(plan, arrays)
+        img0 = jnp.asarray(image, jnp.float32) * inv_corr
 
         def plane_body(carry, p):
             acc_re, acc_im = carry
@@ -683,7 +729,9 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
             active_row = arrays["active_table"][p]
             active_count = arrays["active_count"][p]
 
-            alloc_re, alloc_im = _screened_alloc(arrays, img0, w_p)
+            alloc_re, alloc_im = _screened_alloc(
+                arrays, img0, w_p, nm1s
+            )
 
             def chunk_body(carry, ci):
                 start = ci * G

@@ -48,6 +48,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.hostmem import alloc_populated
 from .kernels import es_kernel_jnp
 from .plan import NUM_IN_BUFFERS, PREFETCH_DEPTH, GridderPlan
 
@@ -67,7 +68,11 @@ def pack_plan_columns(plan: GridderPlan) -> np.ndarray:
     """
     num = plan.num_vis
     slot_block = np.arange(num) // plan.block
-    packed = np.zeros((PACK_COLS, num), np.float32)
+    # Pre-faulted zeros: a 200 MB np.zeros pays erratic single-thread
+    # page faults on lazily-backed VM memory (utils/hostmem.py).
+    packed = alloc_populated(PACK_COLS * num, np.float32).reshape(
+        PACK_COLS, num
+    )
     packed[0] = (
         plan.x0 - plan.block_ox[slot_block]
     ).astype(np.float32) + plan.fx

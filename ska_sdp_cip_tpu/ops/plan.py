@@ -159,6 +159,15 @@ class GridderPlan:
     # tail steps.
     num_strips: int = 0
     step_val: np.ndarray = field(repr=False, default=None)
+    #: Kernel-ready derived columns precomputed by the native engine
+    #: in the export pass (None under the numpy fallback;
+    #: ops/gridder.plan_host_arrays computes them on demand):
+    #: packed (8, num_vis) f32, flip_sign (+-1 f32), and the static
+    #: w-shift phase factors cos/sin(-2 pi n_mid * ws).
+    packed: np.ndarray = field(repr=False, default=None)
+    flip_sign: np.ndarray = field(repr=False, default=None)
+    phase_cos: np.ndarray = field(repr=False, default=None)
+    phase_sin: np.ndarray = field(repr=False, default=None)
     step_aux: np.ndarray = field(repr=False, default=None)
     step_aux2: np.ndarray = field(repr=False, default=None)
     step_count: np.ndarray = field(repr=False, default=None)
@@ -462,9 +471,30 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         block_start = (
             np.arange(num_blocks, dtype=np.int64) * block
         ).astype(np.int32)
+        # Native-precomputed derived columns: pad with the values the
+        # numpy path produces for padding slots (block_ox/oy = 0,
+        # x0/y0 = support, fx/fy = 0.5, ws = 0 => phase (1, 0)).
+        if p.packed is not None and p.packed.shape[1] < num_vis:
+            extra = num_vis - p.packed.shape[1]
+            pad_cols = np.zeros((8, extra), np.float32)
+            pad_cols[0] = p.support + 0.5
+            pad_cols[1] = p.support + 0.5
+            packed = np.concatenate([p.packed, pad_cols], axis=1)
+            flip_sign = _pad1(p.flip_sign, num_vis, 1.0)
+            phase_cos = _pad1(p.phase_cos, num_vis, 1.0)
+            phase_sin = _pad1(p.phase_sin, num_vis, 0.0)
+        else:
+            packed = p.packed
+            flip_sign = p.flip_sign
+            phase_cos = p.phase_cos
+            phase_sin = p.phase_sin
         padded.append(
             dataclasses.replace(
                 p,
+                packed=packed,
+                flip_sign=flip_sign,
+                phase_cos=phase_cos,
+                phase_sin=phase_sin,
                 step_val=step_val,
                 step_aux=step_aux,
                 step_aux2=step_aux2,
@@ -632,42 +662,47 @@ def make_plan(
     nty = nalloc_y // tile_y
 
     if use_native:
-        cols = _native.plan_arrays(
+        # Fused C++ pass straight to the final block-slot layout:
+        # geometry, lane-straddler duplication, radix key sort, block
+        # split, and slot scatter all happen inside the native engine
+        # (native/cip_native.cpp:cip_slot_plan_build) — none of the
+        # O(num_vis) intermediate arrays are materialized in Python.
+        slot = _native.build_slot_plan(
             uvw,
             freqs,
             inv_du=1.0 / du,
             ngrid=ngrid,
             support=support,
-            tile_cells_x=tile_x,
-            tile_cells_y=tile_y,
+            tile_x=tile_x,
+            tile_y=tile_y,
             ntiles_y=nty,
             wstacking=wstacking,
             w0_plane=bin_origin,
             dw=dw,
-            nplanes=num_bins,
+            num_bins=num_bins,
+            block=block,
+            min_blocks=min_blocks,
+            pad_order=num_vis,
+            phase_factor=-2.0 * np.pi * n_mid,
         )
-        # Duplicate lane straddlers into the window above (key + one
-        # y-window == key + num_bins), then stable-sort the extended
-        # set by the composite (tile, wbin) key.
-        straddle = (cols["y0"] % tile_y) > (tile_y - support)
-        dup = np.flatnonzero(straddle)
-        src_ext = np.concatenate(
-            [np.arange(num_vis, dtype=np.int64), dup]
-        )
-        key_ext = np.concatenate(
-            [cols["key"], cols["key"][dup] + num_bins]
-        )
-        order_ext = _native.argsort_i64(key_ext)
-        order = src_ext[order_ext]
-        key_sorted = key_ext[order_ext]
-        tile_sorted = key_sorted // num_bins
-        wbin_sorted = key_sorted % num_bins
-        x0_sorted = _native.gather(cols["x0"], order)
-        y0_sorted = _native.gather(cols["y0"], order)
-        fx_sorted = _native.gather(cols["fx"], order)
-        fy_sorted = _native.gather(cols["fy"], order)
-        ws_sorted = _native.gather(cols["ws"], order)
-        flip_sorted = _native.gather(cols["flip"], order).astype(bool)
+        num_blocks = slot["num_blocks"]
+        num_blocks_padded = len(slot["block_len"])
+        slot_order = slot["order"]
+        slot_flip = slot["flip"].astype(bool)
+        slot_x0 = slot["x0"]
+        slot_y0 = slot["y0"]
+        slot_fx = slot["fx"]
+        slot_fy = slot["fy"]
+        slot_ws = slot["ws"]
+        block_len_padded = slot["block_len"].astype(np.int64)
+        block_ox_padded = slot["block_ox"]
+        block_oy_padded = slot["block_oy"]
+        bin_lo = slot["bin_lo"][:num_blocks].astype(np.int64)
+        bin_hi = slot["bin_hi"][:num_blocks].astype(np.int64)
+        slot_packed = slot["packed"]
+        slot_flip_sign = slot["flip_sign"]
+        slot_phase_cos = slot["phase_cos"]
+        slot_phase_sin = slot["phase_sin"]
     else:
         # Footprint start cell: W consecutive cells centred on the
         # coordinate, in the alloc frame (wrapped into [0, ngrid) then
@@ -707,49 +742,105 @@ def make_plan(
         ws_sorted = w[order].astype(np.float32)
         flip_sorted = flip[order]
 
-    # --- block decomposition (in sorted space) -------------------------
-    # Blocks are (tile, wbin)-pure: every visibility in a block shares
-    # one patch origin AND one w data bin, so the strip kernel grids a
-    # block onto exactly its W-plane window. The sorted space includes
-    # the duplicated lane straddlers (``order`` maps slots to source
-    # samples, with duplicates).
-    num_sorted = len(order)
-    if num_sorted:
-        boundaries = (
-            np.flatnonzero(
-                (np.diff(tile_sorted) != 0)
-                | (np.diff(wbin_sorted) != 0)
+        # --- block decomposition (in sorted space) ----------------------
+        # Blocks are (tile, wbin)-pure: every visibility in a block
+        # shares one patch origin AND one w data bin, so the strip
+        # kernel grids a block onto exactly its W-plane window. The
+        # sorted space includes the duplicated lane straddlers
+        # (``order`` maps slots to source samples, with duplicates).
+        num_sorted = len(order)
+        if num_sorted:
+            boundaries = (
+                np.flatnonzero(
+                    (np.diff(tile_sorted) != 0)
+                    | (np.diff(wbin_sorted) != 0)
+                )
+                + 1
             )
-            + 1
-        )
-        group_starts = np.concatenate(([0], boundaries))
-        group_ends = np.concatenate((boundaries, [num_sorted]))
-        num_per_group = -(-(group_ends - group_starts) // block)
-        sorted_start = np.concatenate(
-            [
-                np.arange(gstart, gend, block)
-                for gstart, gend in zip(group_starts, group_ends)
-            ]
-        ).astype(np.int64)
-        group_end_rep = np.repeat(group_ends, num_per_group)
-        block_len = (
-            np.minimum(sorted_start + block, group_end_rep) - sorted_start
-        )
-    else:
-        sorted_start = np.zeros(0, dtype=np.int64)
-        block_len = np.zeros(0, dtype=np.int64)
+            group_starts = np.concatenate(([0], boundaries))
+            group_ends = np.concatenate((boundaries, [num_sorted]))
+            num_per_group = -(-(group_ends - group_starts) // block)
+            sorted_start = np.concatenate(
+                [
+                    np.arange(gstart, gend, block)
+                    for gstart, gend in zip(group_starts, group_ends)
+                ]
+            ).astype(np.int64)
+            group_end_rep = np.repeat(group_ends, num_per_group)
+            block_len = (
+                np.minimum(sorted_start + block, group_end_rep)
+                - sorted_start
+            )
+        else:
+            sorted_start = np.zeros(0, dtype=np.int64)
+            block_len = np.zeros(0, dtype=np.int64)
 
-    num_blocks = len(sorted_start)
-    block_tile = (
-        tile_sorted[sorted_start] if num_blocks else np.zeros(0, np.int64)
-    )
-    block_ox = ((block_tile // nty) * tile_x).astype(np.int32)
-    block_oy = ((block_tile % nty) * tile_y).astype(np.int32)
+        num_blocks = len(sorted_start)
+        block_tile = (
+            tile_sorted[sorted_start]
+            if num_blocks
+            else np.zeros(0, np.int64)
+        )
+        block_ox = ((block_tile // nty) * tile_x).astype(np.int32)
+        block_oy = ((block_tile % nty) * tile_y).astype(np.int32)
+        if num_blocks:
+            bin_lo = wbin_sorted[sorted_start]  # ascending in a tile
+            bin_hi = wbin_sorted[sorted_start + block_len - 1]
+        else:
+            bin_lo = np.zeros(0, dtype=np.int64)
+            bin_hi = np.zeros(0, dtype=np.int64)
 
+        # --- block-slot re-packing --------------------------------------
+        # Slot layout: block b owns [b*B, (b+1)*B); every DMA offset is
+        # b*B, statically aligned. slot_src maps slots to sorted
+        # indices (sentinel num_sorted for padding).
+        num_blocks_padded = max(num_blocks, min_blocks, 1)
+        num_slots = num_blocks_padded * block
+        slot_idx = np.arange(num_slots)
+        slot_block = slot_idx // block
+        slot_lane = slot_idx % block
+        block_len_padded = np.zeros(num_blocks_padded, dtype=np.int64)
+        block_len_padded[:num_blocks] = block_len
+        sorted_start_padded = np.zeros(num_blocks_padded, dtype=np.int64)
+        sorted_start_padded[:num_blocks] = sorted_start
+        slot_valid = slot_lane < block_len_padded[slot_block]
+        slot_src = np.where(
+            slot_valid,
+            sorted_start_padded[slot_block] + slot_lane,
+            num_sorted,
+        )
+
+        def _slotted(sorted_values, pad_value, dtype):
+            padded = np.append(
+                np.asarray(sorted_values, dtype=dtype),
+                np.asarray(pad_value, dtype=dtype)[None],
+            )
+            return padded[slot_src]
+
+        slot_order = _slotted(order, num_vis, np.int64).astype(np.int32)
+        slot_flip = _slotted(flip_sorted, False, bool)
+        slot_x0 = _slotted(x0_sorted, support, np.int32)
+        slot_y0 = _slotted(y0_sorted, support, np.int32)
+        slot_fx = _slotted(fx_sorted, 0.5, np.float32)
+        slot_fy = _slotted(fy_sorted, 0.5, np.float32)
+        slot_ws = _slotted(ws_sorted, 0.0, np.float32)
+
+        def _pad_blocks(arr, dtype):
+            out = np.zeros(num_blocks_padded, dtype=dtype)
+            out[: len(arr)] = arr
+            return out
+
+        block_ox_padded = _pad_blocks(block_ox, np.int32)
+        block_oy_padded = _pad_blocks(block_oy, np.int32)
+        block_len_padded = _pad_blocks(block_len, np.int32)
+        slot_packed = None
+        slot_flip_sign = None
+        slot_phase_cos = None
+        slot_phase_sin = None
+
+    # --- shared tail: plane windows, step programs, assembly ------------
     # Data bin q -> active plane window [q, q + W) (floor binning)
     if num_blocks:
-        bin_lo = wbin_sorted[sorted_start]  # ascending within a tile
-        bin_hi = wbin_sorted[sorted_start + block_len - 1]
         plane_lo = np.maximum(bin_lo, 0)
         plane_hi = np.minimum(bin_hi + support - 1, nplanes - 1)
     else:
@@ -762,12 +853,12 @@ def make_plan(
     max_active = active_table.shape[1]
 
     block_strip = (
-        (block_ox // tile_x).astype(np.int64)
+        (block_ox_padded[:num_blocks] // tile_x).astype(np.int64)
         if num_blocks
         else np.zeros(0, dtype=np.int64)
     )
     block_segment = (
-        (block_oy // seg_lanes).astype(np.int64)
+        (block_oy_padded[:num_blocks] // seg_lanes).astype(np.int64)
         if num_blocks
         else np.zeros(0, dtype=np.int64)
     )
@@ -780,38 +871,6 @@ def make_plan(
         block_segment,
         num_y_segments,
     )
-
-    # --- block-slot re-packing -----------------------------------------
-    # Slot layout: block b owns [b*B, (b+1)*B); every DMA offset is
-    # b*B, statically aligned. slot_src maps slots to sorted indices
-    # (sentinel num_vis for padding).
-    num_blocks_padded = max(num_blocks, min_blocks, 1)
-    num_slots = num_blocks_padded * block
-    slot_idx = np.arange(num_slots)
-    slot_block = slot_idx // block
-    slot_lane = slot_idx % block
-    block_len_padded = np.zeros(num_blocks_padded, dtype=np.int64)
-    block_len_padded[:num_blocks] = block_len
-    sorted_start_padded = np.zeros(num_blocks_padded, dtype=np.int64)
-    sorted_start_padded[:num_blocks] = sorted_start
-    slot_valid = slot_lane < block_len_padded[slot_block]
-    slot_src = np.where(
-        slot_valid,
-        sorted_start_padded[slot_block] + slot_lane,
-        num_sorted,
-    )
-
-    def _slotted(sorted_values, pad_value, dtype):
-        padded = np.append(
-            np.asarray(sorted_values, dtype=dtype),
-            np.asarray(pad_value, dtype=dtype)[None],
-        )
-        return padded[slot_src]
-
-    def _pad_blocks(arr, dtype):
-        out = np.zeros(num_blocks_padded, dtype=dtype)
-        out[: len(arr)] = arr
-        return out
 
     plane_w = w0_plane + dw * np.arange(nplanes, dtype=np.float64)
     quad_nodes, quad_folded = gauss_legendre_kernel_quadrature(
@@ -841,19 +900,19 @@ def make_plan(
         num_blocks=num_blocks_padded,
         max_active=max_active,
         num_vis_data=num_vis,
-        order=_slotted(order, num_vis, np.int64).astype(np.int32),
-        flip=_slotted(flip_sorted, False, bool),
-        x0=_slotted(x0_sorted, support, np.int32),
-        y0=_slotted(y0_sorted, support, np.int32),
-        fx=_slotted(fx_sorted, 0.5, np.float32),
-        fy=_slotted(fy_sorted, 0.5, np.float32),
-        ws=_slotted(ws_sorted, 0.0, np.float32),
+        order=slot_order,
+        flip=slot_flip,
+        x0=slot_x0,
+        y0=slot_y0,
+        fx=slot_fx,
+        fy=slot_fy,
+        ws=slot_ws,
         block_start=(
             np.arange(num_blocks_padded, dtype=np.int64) * block
         ).astype(np.int32),
-        block_len=_pad_blocks(block_len, np.int32),
-        block_ox=_pad_blocks(block_ox, np.int32),
-        block_oy=_pad_blocks(block_oy, np.int32),
+        block_len=block_len_padded.astype(np.int32),
+        block_ox=block_ox_padded,
+        block_oy=block_oy_padded,
         active_table=active_table,
         plane_w=plane_w.astype(np.float32),
         quad_nodes=quad_nodes,
@@ -861,5 +920,9 @@ def make_plan(
         num_strips=num_strips,
         num_y_segments=num_y_segments,
         seg_lanes=seg_lanes,
+        packed=slot_packed,
+        flip_sign=slot_flip_sign,
+        phase_cos=slot_phase_cos,
+        phase_sin=slot_phase_sin,
         **step_tables,
     )

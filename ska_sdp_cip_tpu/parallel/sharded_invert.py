@@ -22,22 +22,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..invert import StokesIGridderInput, pixel_size_lm_from_asec
 from ..io.visibility_dataset import VisibilityReader
-from ..ops.gridder import (
-    build_invert,
-    compute_geometry_maps,
-    plan_host_arrays,
-)
+from ..ops.gridder import build_invert, plan_host_arrays
 from ..ops.plan import make_plan, pad_plans_uniform
 from .mesh import make_device_mesh
 
-#: Plan-array keys that are identical on every shard (replicated);
-#: everything else is per-shard.
-_REPLICATED_KEYS = ("inv_corr", "nm1s")
-
 
 def _is_replicated(key: str) -> bool:
-    """Correction maps and FFT factors are geometry-only: replicated."""
-    return key in _REPLICATED_KEYS or key.startswith("fft_")
+    """Quadrature rule and FFT factors are geometry-only: replicated."""
+    return key.startswith("fft_") or key.startswith("quad_")
 
 
 def addressable_shard_indices(mesh) -> list:
@@ -297,13 +289,9 @@ def stage_planned_shards(
     host_arrays = {
         index: plan_host_arrays(plan) for index, plan in plans.items()
     }
-    # Geometry maps are computed on device (host quadrature is
-    # pathologically slow at production sizes) and pulled back once
-    # so they can be re-placed as mesh-replicated globals.
-    geometry = {
-        key: np.asarray(value)
-        for key, value in compute_geometry_maps(plans[first]).items()
-    }
+    # The image-domain geometry maps are computed inside the jitted
+    # gridding programs from the replicated quadrature rule — nothing
+    # O(npix^2) is staged or compiled separately here.
     stacked = {}
     for key, example in host_arrays[first].items():
         if _is_replicated(key):
@@ -317,8 +305,6 @@ def stage_planned_shards(
                 example.shape,
                 example.dtype,
             )
-    for key, value in geometry.items():
-        stacked[key] = _global_replicated(value)
 
     num_vis = plans[first].num_vis
     # Split (re, im) float32: the TPU compute path is complex-free.
