@@ -76,7 +76,10 @@ def main() -> None:
         build_invert,
         build_predict,
         plan_device_arrays,
-        split_complex,
+        slot_duplicate_pairs,
+        slot_group_sum,
+        stage_slot_vis,
+        stage_slot_weights,
     )
     from ska_sdp_cip_tpu.ops.plan import make_plan
 
@@ -111,21 +114,21 @@ def main() -> None:
     )
     arrays = plan_device_arrays(plan)
     _ = float(np.asarray(arrays["packed"][0, 0]))  # force transfers
-    invert = build_invert(plan)
-    predict = build_predict(plan)
+    # Slot-space operators: data is staged once into gridder order
+    # (the production pipeline's reorder stage exists precisely to
+    # hold visibilities this way), so the hot programs are gather-free.
+    invert = build_invert(plan, slot_input=True)
+    predict = build_predict(plan, slot_output=True)
     plan_seconds = time.time() - t_plan
 
     weighted = (vis * wgt).ravel()
-    re, im = split_complex(weighted)
-    re_pad = np.zeros(plan.num_vis, np.float32)
-    im_pad = np.zeros(plan.num_vis, np.float32)
-    re_pad[: len(re)] = re
-    im_pad[: len(im)] = im
-    re_dev = jnp.asarray(re_pad)
-    im_dev = jnp.asarray(im_pad)
-    wgt_pad = np.zeros(plan.num_vis, np.float32)
-    wgt_pad[: weighted.size] = wgt.ravel()
-    wgt_dev = jnp.asarray(wgt_pad)
+    re_s, im_s = stage_slot_vis(plan, weighted.real, weighted.imag)
+    re_dev = jnp.asarray(re_s)
+    im_dev = jnp.asarray(im_s)
+    wgt_dev = jnp.asarray(stage_slot_weights(plan, wgt.ravel()))
+    dup_a_np, dup_b_np = slot_duplicate_pairs(plan)
+    dup_a = jnp.asarray(dup_a_np)
+    dup_b = jnp.asarray(dup_b_np)
 
     # Serial dependency chains with a per-repeat seed: defeats both XLA
     # CSE across iterations and the relay's identical-request cache.
@@ -155,13 +158,15 @@ def main() -> None:
         predicts the running model, inverts the weighted residual and
         runs a Hogbom minor cycle — so per-cycle time can be read off
         a single fetch (one cycle alone is shorter than the relay's
-        round-trip jitter)."""
+        round-trip jitter). Entirely in slot space: predict returns
+        per-slot contributions, straddler pairs are group-summed, and
+        the residual feeds invert with no gather/scatter."""
 
         def body(k, model):
             model_re, model_im = predict(arrays, model)
-            pad = re.shape[0] - model_re.shape[0]
-            model_re = jnp.pad(model_re, (0, pad))
-            model_im = jnp.pad(model_im, (0, pad))
+            model_re, model_im = slot_group_sum(
+                plan, model_re, model_im, dup_a, dup_b
+            )
             res_re = (re - model_re * wgt) * (
                 1.0 + (seed + k) * 1e-30
             )
@@ -213,8 +218,13 @@ def main() -> None:
     )
     predict_seconds = best_pre / CHAIN
 
-    # PSF for the minor cycle (reuse the invert program)
-    psf = invert(arrays, wgt_dev, jnp.zeros_like(wgt_dev))
+    # PSF for the minor cycle (reuse the invert program; unit data
+    # visibilities in slot order are the staged phase factors)
+    psf = invert(
+        arrays,
+        wgt_dev * arrays["phase_cos"],
+        wgt_dev * arrays["phase_sin"],
+    )
     psf = psf / jnp.max(psf)
     first_cyc, best_cyc = timed(
         cycle_chain,

@@ -110,9 +110,8 @@ def major_cycle_clean(
     deconvolved sky (restoring-beam convolution left to the caller).
     """
     from .checkpoint import MajorCycleCheckpoint, graceful_shutdown
-    from .operators import as_split_pair
 
-    vis = as_split_pair(vis)
+    vis = operator.stage(vis)
     psf = operator.psf()
     model = jnp.zeros(
         (operator.plan.num_pixels, operator.plan.num_pixels), jnp.float32
@@ -170,10 +169,14 @@ def major_cycle_clean(
 
 def build_major_cycle_step(operator: MeasurementOperator, **clean_kwargs):
     """
-    One fully-jitted major-cycle step ``(model, vis) -> model'``:
-    gradient through the measurement operator + minor cycle + model
-    update, with no host round-trips — the framework's "training step".
+    One fully-jitted major-cycle step ``(model, slot_re, slot_im) ->
+    model'``: gradient through the measurement operator + minor cycle
+    + model update, with no host round-trips — the framework's
+    "training step". The visibility arguments are SLOT-staged
+    (``operator.stage(vis)``), so the whole step is gather-free.
     """
+    from .operators import SlotVis
+
     gain = clean_kwargs.get("gain", 0.1)
     minor_iter = clean_kwargs.get("minor_iter", 30)
     psf = operator.psf()
@@ -181,7 +184,7 @@ def build_major_cycle_step(operator: MeasurementOperator, **clean_kwargs):
     @jax.jit
     def step(model, vis_re, vis_im):
         residual_image = -operator.residual_gradient(
-            model, (vis_re, vis_im)
+            model, SlotVis(vis_re, vis_im)
         )
         delta, _ = hogbom_clean(
             residual_image, psf, gain=gain, max_iter=minor_iter

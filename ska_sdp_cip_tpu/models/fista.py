@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .operators import MeasurementOperator, as_split_pair
+from .operators import MeasurementOperator
 
 
 def power_method_step_size(
@@ -58,7 +58,7 @@ def fista_clean(
     the gradient image at the final model (same normalization as the
     dirty image).
     """
-    vis = as_split_pair(vis)
+    vis = operator.stage(vis)
     npix = operator.plan.num_pixels
     dirty = operator.dirty_image(vis)
     lam = lam_factor * float(jnp.max(jnp.abs(dirty)))

@@ -179,9 +179,7 @@ def multiscale_clean(
     ``bias_slope`` down-weights large scales in peak selection
     (standard multiscale bias ``1 - slope * scale/max_scale``).
     """
-    from .operators import as_split_pair
-
-    vis = as_split_pair(vis)
+    vis = operator.stage(vis)
     psf = operator.psf()
     npix = operator.plan.num_pixels
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import cached_property
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -27,9 +28,25 @@ from ..ops.gridder import (
     build_invert,
     build_predict,
     plan_device_arrays,
+    slot_duplicate_pairs,
+    slot_group_sum,
     split_complex,
+    stage_slot_vis,
+    stage_slot_weights,
 )
 from ..ops.plan import GridderPlan, make_plan
+
+
+class SlotVis(NamedTuple):
+    """
+    Visibilities staged in gridder slot order (``stage_slot_vis``
+    convention): the form the hot invert/predict programs consume with
+    no on-device gather. Produced once by
+    :meth:`MeasurementOperator.stage`; every solver iteration reuses it.
+    """
+
+    re: jnp.ndarray
+    im: jnp.ndarray
 
 
 def as_split_pair(vis) -> tuple:
@@ -59,6 +76,11 @@ class MeasurementOperator:
     plan: GridderPlan
     arrays: dict = field(repr=False)
     weights: jnp.ndarray = field(repr=False)  # effective weights, (V,)
+    #: Effective weights gathered into slot order (padding slots 0).
+    slot_weights: jnp.ndarray = field(repr=False, default=None)
+    #: Straddler slot pairs sharing one source sample (may be empty).
+    dup_a: jnp.ndarray = field(repr=False, default=None)
+    dup_b: jnp.ndarray = field(repr=False, default=None)
 
     @classmethod
     def build(
@@ -84,10 +106,16 @@ class MeasurementOperator:
         weights_flat = np.zeros(plan.num_vis, np.float32)
         raveled = np.asarray(weights, np.float32).ravel()
         weights_flat[: len(raveled)] = raveled
+        dup_a, dup_b = slot_duplicate_pairs(plan)
         return cls(
             plan=plan,
             arrays=plan_device_arrays(plan),
             weights=jnp.asarray(weights_flat),
+            slot_weights=jnp.asarray(
+                stage_slot_weights(plan, raveled)
+            ),
+            dup_a=jnp.asarray(dup_a),
+            dup_b=jnp.asarray(dup_b),
         )
 
     @cached_property
@@ -99,8 +127,33 @@ class MeasurementOperator:
         return build_predict(self.plan)
 
     @cached_property
+    def _invert_slots(self):
+        return build_invert(self.plan, slot_input=True)
+
+    @cached_property
+    def _predict_slots(self):
+        return build_predict(self.plan, slot_output=True)
+
+    @cached_property
     def total_weight(self) -> float:
         return float(jnp.sum(self.weights))
+
+    def stage(self, vis) -> SlotVis:
+        """
+        Stage measured visibilities into gridder slot order (host-side
+        gather + flip + w-shift phase). Do this ONCE per dataset; all
+        solver entry points accept the result and skip per-call
+        reordering work entirely.
+        """
+        if isinstance(vis, SlotVis):
+            return vis
+        if isinstance(vis, tuple):
+            re, im = (np.asarray(part).ravel() for part in vis)
+        else:
+            arr = np.asarray(vis).ravel()
+            re, im = arr.real, arr.imag
+        slot_re, slot_im = stage_slot_vis(self.plan, re, im)
+        return SlotVis(jnp.asarray(slot_re), jnp.asarray(slot_im))
 
     def forward(self, image) -> tuple:
         """G I: model visibilities (unweighted), split (re, im), (V,)."""
@@ -118,29 +171,56 @@ class MeasurementOperator:
 
     def dirty_image(self, vis):
         """Normalized dirty image of measured visibilities."""
-        re, im = as_split_pair(vis)
-        w = self.weights[: re.shape[0]]
-        return self.adjoint(re * w, im * w) / self.total_weight
+        slots = self.stage(vis)
+        w = self.slot_weights
+        return (
+            self._invert_slots(self.arrays, slots.re * w, slots.im * w)
+            / self.total_weight
+        )
 
     def psf(self):
         """
         Point-spread function: the dirty image of unit visibilities —
-        approximately 1 at the phase centre.
+        approximately 1 at the phase centre. Unit data visibilities in
+        slot order are just the staged w-shift phase factors (flip
+        conjugation fixes im = 0) scaled by the slot weights.
         """
-        num = self.plan.num_vis_data
-        re = jnp.ones(num, jnp.float32) * self.weights[:num]
-        im = jnp.zeros(num, jnp.float32)
-        return self.adjoint(re, im) / self.total_weight
+        w = self.slot_weights
+        return (
+            self._invert_slots(
+                self.arrays,
+                w * self.arrays["phase_cos"],
+                w * self.arrays["phase_sin"],
+            )
+            / self.total_weight
+        )
+
+    def model_slots(self, image) -> SlotVis:
+        """
+        G I in slot space with straddler pairs group-summed: every slot
+        carries its source sample's FULL model value, directly
+        comparable to staged data.
+        """
+        acc_re, acc_im = self._predict_slots(self.arrays, image)
+        acc_re, acc_im = slot_group_sum(
+            self.plan, acc_re, acc_im, self.dup_a, self.dup_b
+        )
+        return SlotVis(acc_re, acc_im)
 
     def residual_gradient(self, image, vis):
         """
         G* ( w (G I - v) ) / sum(w): the normalized gradient of the
         weighted least-squares objective — one on-device
         predict-residual-regrid round trip (the major cycle's core).
+        Runs entirely in slot space: no gather/scatter between the
+        predict and the regrid.
         """
-        re, im = as_split_pair(vis)
-        model_re, model_im = self.forward(image)
-        w = self.weights[: re.shape[0]]
-        res_re = (model_re[: re.shape[0]] - re) * w
-        res_im = (model_im[: im.shape[0]] - im) * w
-        return self.adjoint(res_re, res_im) / self.total_weight
+        slots = self.stage(vis)
+        model = self.model_slots(image)
+        w = self.slot_weights
+        res_re = (model.re - slots.re) * w
+        res_im = (model.im - slots.im) * w
+        return (
+            self._invert_slots(self.arrays, res_re, res_im)
+            / self.total_weight
+        )

@@ -155,30 +155,10 @@ def plan_host_arrays(
     """
     # Static per-slot w-shift phase factors (exp(-i 2 pi n_mid w_s))
     # and flip signs: precomputed by the native planner's export pass
-    # when available, else one numpy pass here.
-    from .. import native as _native
-
-    if plan.phase_cos is not None:
-        phase_cos, phase_sin = plan.phase_cos, plan.phase_sin
-    else:
-        factor = -2.0 * np.pi * plan.n_mid
-        if _native.available() and plan.num_vis:
-            phase_cos, phase_sin = _native.phase_cossin(plan.ws, factor)
-        else:
-            phase = factor * plan.ws.astype(np.float64)
-            phase_cos = np.cos(phase).astype(np.float32)
-            phase_sin = np.sin(phase).astype(np.float32)
-    flip_sign = (
-        plan.flip_sign
-        if plan.flip_sign is not None
-        else np.where(plan.flip, -1.0, 1.0).astype(np.float32)
-    )
-    arrays = {
-        "order": plan.order,
-        "flip_sign": flip_sign,
+    # when available, else one numpy pass (plan_order_host).
+    arrays = dict(plan_order_host(plan))
+    arrays.update({
         "ws": plan.ws,
-        "phase_cos": phase_cos,
-        "phase_sin": phase_sin,
         "block_oy": plan.block_oy,
         "plane_w": plan.plane_w,
         # Strip-kernel step program (ops/plan.py:build_step_tables)
@@ -188,7 +168,7 @@ def plan_host_arrays(
         "step_count": plan.step_count,
         "first_block": plan.first_block,
         "last_blocks": plan.last_blocks,
-    }
+    })
     arrays.update(_quad_arrays(plan))
     if resolve_gridder_mode(gridder) == "xla":
         arrays.update(
@@ -261,6 +241,124 @@ def plan_device_arrays_host(plan: GridderPlan) -> dict:
         }
     )
     return arrays
+
+
+def plan_order_host(plan: GridderPlan) -> dict:
+    """
+    Numpy (order, flip_sign, phase_cos, phase_sin) of a plan — the
+    static data-order -> slot-order transform (gather, conjugate flip,
+    w-shift pre-phase) as host arrays, shared by device staging and
+    :func:`stage_slot_vis`.
+    """
+    from .. import native as _native
+
+    if plan.phase_cos is not None:
+        phase_cos, phase_sin = plan.phase_cos, plan.phase_sin
+    else:
+        factor = -2.0 * np.pi * plan.n_mid
+        if _native.available() and plan.num_vis:
+            phase_cos, phase_sin = _native.phase_cossin(plan.ws, factor)
+        else:
+            phase = factor * plan.ws.astype(np.float64)
+            phase_cos = np.cos(phase).astype(np.float32)
+            phase_sin = np.sin(phase).astype(np.float32)
+    flip_sign = (
+        plan.flip_sign
+        if plan.flip_sign is not None
+        else np.where(plan.flip, -1.0, 1.0).astype(np.float32)
+    )
+    return {
+        "order": plan.order,
+        "flip_sign": flip_sign,
+        "phase_cos": phase_cos,
+        "phase_sin": phase_sin,
+    }
+
+
+def stage_slot_vis(plan: GridderPlan, vis_re, vis_im) -> tuple:
+    """
+    Host-side staging of flattened data-order visibilities into SLOT
+    order: gather by the plan's block-slot permutation (duplicating
+    lane straddlers), conjugate w-flipped samples, and apply the
+    static w-shift pre-phase. Returns float32 numpy ``(re, im)`` of
+    length ``plan.num_vis``.
+
+    This is the gridder-input convention ``build_invert(...,
+    slot_input=True)`` consumes directly — the production pipeline
+    stages data once (the UVW-tile reorder exists precisely to hold
+    visibilities in gridder order) and grids many times, so the
+    per-call device gather (~7 cycles/element on TPU) never runs.
+    """
+    host = plan_order_host(plan)
+    re = np.append(
+        np.asarray(vis_re, np.float32).ravel(), np.float32(0.0)
+    )
+    im = np.append(
+        np.asarray(vis_im, np.float32).ravel(), np.float32(0.0)
+    )
+    order = np.minimum(host["order"], len(re) - 1)
+    re_s = re[order]
+    im_s = im[order] * host["flip_sign"]
+    if plan.wstacking:
+        cos, sin = host["phase_cos"], host["phase_sin"]
+        re_s, im_s = re_s * cos - im_s * sin, re_s * sin + im_s * cos
+    return re_s, im_s
+
+
+def stage_slot_weights(plan: GridderPlan, weights) -> np.ndarray:
+    """
+    Host-side gather of per-sample (data-order) real weights into slot
+    order (no flip/phase — weights are real and positive). Padding
+    slots get weight 0.
+    """
+    w = np.append(
+        np.asarray(weights, np.float32).ravel(), np.float32(0.0)
+    )
+    order = plan.order
+    out = w[np.minimum(order, len(w) - 1)]
+    out[order >= len(w) - 1] = 0.0
+    return out
+
+
+def slot_duplicate_pairs(plan: GridderPlan) -> tuple:
+    """
+    The static (dup_a, dup_b) slot-index pairs sharing one source
+    sample (lane-straddler duplication, ops/plan.py). A model
+    visibility's full value is the sum over its slots — each slot's
+    kernel covers only its own 128-lane window — so slot-space
+    residuals need ``acc[dup_a] += acc_old[dup_b]`` and vice versa
+    (see :func:`slot_group_sum`). Pairs are returned as int32 arrays;
+    samples with a single slot don't appear.
+    """
+    order = plan.order
+    perm = np.argsort(order, kind="stable")
+    sorted_order = order[perm]
+    eq = (sorted_order[1:] == sorted_order[:-1]) & (
+        sorted_order[1:] < plan.num_vis_data
+    )
+    dup_a = perm[:-1][eq].astype(np.int32)
+    dup_b = perm[1:][eq].astype(np.int32)
+    return dup_a, dup_b
+
+
+def slot_group_sum(plan: GridderPlan, acc_re, acc_im, dup_a, dup_b):
+    """
+    Sum duplicated-slot contributions so every slot carries its source
+    sample's FULL model value: ``out[i] = acc[i] + acc[partner(i)]``
+    for straddler pairs, identity elsewhere. ``dup_a``/``dup_b`` may
+    be padded with out-of-range indices (= num_vis): the gather clips
+    (value unused) and the scatter drops them.
+    """
+    if dup_a.shape[0] == 0:
+        return acc_re, acc_im
+    pair = jnp.stack([acc_re, acc_im], axis=1)
+    va = jnp.take(pair, dup_a, axis=0, mode="clip")
+    vb = jnp.take(pair, dup_b, axis=0, mode="clip")
+    pair = (
+        pair.at[dup_a].add(vb, mode="drop")
+        .at[dup_b].add(va, mode="drop")
+    )
+    return pair[:, 0], pair[:, 1]
 
 
 def _prepare_sorted_vis(plan: GridderPlan, arrays: dict, vis_re, vis_im):
@@ -410,13 +508,24 @@ def resolve_gridder_mode(gridder: str | None) -> str:
     return mode
 
 
-def build_invert(plan: GridderPlan, *, gridder: str | None = None):
+def build_invert(
+    plan: GridderPlan,
+    *,
+    gridder: str | None = None,
+    slot_input: bool = False,
+):
     """
     Returns a jitted ``invert(arrays, vis_re, vis_im) -> image``
     computing the unnormalized dirty image (float32, (npix, npix)) from
     flattened (row * chan) weighted Stokes-I visibilities, split into
     real/imag float32. Divide by the total effective weight for fluxes
     (reference: invert.py:119-149).
+
+    With ``slot_input=True`` the inputs are already in slot order
+    (:func:`stage_slot_vis` convention: gathered, flipped, phased,
+    length ``plan.num_vis``) and the on-device gather is skipped —
+    the production path, where data is staged once and gridded many
+    times (e.g. every major cycle).
     """
     PX, PY = plan.patch_x, plan.patch_y
     B, W = plan.block, plan.support
@@ -437,7 +546,12 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
         @jax.jit
         def invert_pallas(arrays: dict, vis_re, vis_im):
             inv_corr, nm1s = _geometry_maps(plan, arrays)
-            re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
+            if slot_input:
+                re, im = vis_re, vis_im
+            else:
+                re, im = _prepare_sorted_vis(
+                    plan, arrays, vis_re, vis_im
+                )
             # Splice the split visibilities into the packed rows so
             # each block-step costs a single input DMA.
             data = arrays["packed"].at[4].set(re).at[5].set(im)
@@ -503,7 +617,10 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
     @jax.jit
     def invert(arrays: dict, vis_re, vis_im):
         inv_corr, nm1s = _geometry_maps(plan, arrays)
-        re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
+        if slot_input:
+            re, im = vis_re, vis_im
+        else:
+            re, im = _prepare_sorted_vis(plan, arrays, vis_re, vis_im)
 
         def plane_body(image_accum, p):
             w_p = arrays["plane_w"][p]
@@ -597,12 +714,24 @@ def build_invert(plan: GridderPlan, *, gridder: str | None = None):
     return invert
 
 
-def build_predict(plan: GridderPlan, *, gridder: str | None = None):
+def build_predict(
+    plan: GridderPlan,
+    *,
+    gridder: str | None = None,
+    slot_output: bool = False,
+):
     """
     Returns a jitted ``predict(arrays, image) -> (vis_re, vis_im)``:
     the exact adjoint of :func:`build_invert`'s operator, i.e. the
     degridding / forward model (``dirty2ms`` analog) producing
     flattened (row * chan) split visibilities from a real image.
+
+    With ``slot_output=True`` the per-slot contributions are returned
+    in the slot-input convention (pre-phase applied, flip NOT undone,
+    length ``plan.num_vis`` each) — i.e. exactly the adjoint of
+    ``build_invert(..., slot_input=True)``. A slot's value covers only
+    its own 128-lane kernel window; sum straddler pairs with
+    :func:`slot_group_sum` before comparing against staged data.
     """
     PX, PY = plan.patch_x, plan.patch_y
     B, W = plan.block, plan.support
@@ -714,6 +843,8 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
                 jnp.zeros((2, num_slots), jnp.float32),
                 jnp.arange(plan.nplanes),
             )
+            if slot_output:
+                return acc[0], acc[1]
             return _finalize(arrays, acc[0], acc[1])
 
         return predict_pallas
@@ -798,6 +929,8 @@ def build_predict(plan: GridderPlan, *, gridder: str | None = None):
         (acc_re, acc_im), _ = lax.scan(
             plane_body, (zeros, zeros), jnp.arange(plan.nplanes)
         )
+        if slot_output:
+            return acc_re, acc_im
         return _finalize(arrays, acc_re, acc_im)
 
     return predict
@@ -834,13 +967,15 @@ def dirty_image(
         do_wstacking=do_wstacking,
     )
     arrays = plan_device_arrays(plan)
-    invert = build_invert(plan)
+    invert = build_invert(plan, slot_input=True)
     weighted = np.asarray(visibilities, np.complex64) * np.asarray(
         weights, np.float32
     )
-    vis_re, vis_im = split_complex(weighted.ravel())
+    slot_re, slot_im = stage_slot_vis(
+        plan, weighted.real.ravel(), weighted.imag.ravel()
+    )
     return np.asarray(
-        invert(arrays, jnp.asarray(vis_re), jnp.asarray(vis_im))
+        invert(arrays, jnp.asarray(slot_re), jnp.asarray(slot_im))
     )
 
 

@@ -72,8 +72,8 @@ def sharded_major_cycle_clean(
     )
     axis_name = staging.axis_name
     plan0 = staging.plans[0]
-    invert = build_invert(plan0)
-    predict = build_predict(plan0)
+    invert = build_invert(plan0, slot_input=True)
+    predict = build_predict(plan0, slot_output=True)
     total_weight = staging.total_weight
 
     def unstack(arrays):
@@ -88,18 +88,25 @@ def sharded_major_cycle_clean(
         return jax.lax.psum(image, axis_name) / total_weight
 
     def psf_fn(arrays, wgt):
+        # Unit data visibilities in slot order are the staged w-shift
+        # phase factors scaled by the slot weights.
         arrays = unstack(arrays)
-        ones = jnp.ones_like(wgt[0])
-        image = invert(arrays, ones * wgt[0], jnp.zeros_like(wgt[0]))
+        image = invert(
+            arrays,
+            wgt[0] * arrays["phase_cos"],
+            wgt[0] * arrays["phase_sin"],
+        )
         return jax.lax.psum(image, axis_name) / total_weight
 
-    def residual_of(arrays, vre, vim, wgt, model):
-        """Exact residual image at ``model`` (predict -> weight ->
-        invert -> psum)."""
+    def residual_of(arrays, vre, vim, wgt, dup_a, dup_b, model):
+        """Exact residual image at ``model``, entirely in slot space
+        (predict -> straddler group-sum -> weight -> invert -> psum)."""
+        from ..ops.gridder import slot_group_sum
+
         model_re, model_im = predict(arrays, model)
-        pad = wgt.shape[0] - model_re.shape[0]
-        model_re = jnp.pad(model_re, (0, pad))
-        model_im = jnp.pad(model_im, (0, pad))
+        model_re, model_im = slot_group_sum(
+            plan0, model_re, model_im, dup_a, dup_b
+        )
         res_re = (vre - model_re) * wgt
         res_im = (vim - model_im) * wgt
         return (
@@ -107,7 +114,9 @@ def sharded_major_cycle_clean(
             / total_weight
         )
 
-    def cycle_fn(arrays, vre, vim, wgt, model, psf, residual):
+    def cycle_fn(
+        arrays, vre, vim, wgt, dup_a, dup_b, model, psf, residual
+    ):
         # One predict+invert round trip per cycle: the minor cycle
         # consumes the residual carried from the previous cycle (the
         # dirty image initially) and only the post-update residual is
@@ -118,7 +127,9 @@ def sharded_major_cycle_clean(
             residual, psf, gain=gain, max_iter=minor_iter
         )
         model = model + delta
-        return model, residual_of(arrays, vre[0], vim[0], wgt[0], model)
+        return model, residual_of(
+            arrays, vre[0], vim[0], wgt[0], dup_a[0], dup_b[0], model
+        )
 
     psf_spmd = jax.jit(
         jax.shard_map(
@@ -152,6 +163,8 @@ def sharded_major_cycle_clean(
                 P(axis_name),
                 P(axis_name),
                 P(axis_name),
+                P(axis_name),
+                P(axis_name),
                 P(),
                 P(),
                 P(),
@@ -179,6 +192,8 @@ def sharded_major_cycle_clean(
                 staging.vis_re,
                 staging.vis_im,
                 staging.weights,
+                staging.dup_a,
+                staging.dup_b,
                 model,
                 psf,
                 residual,

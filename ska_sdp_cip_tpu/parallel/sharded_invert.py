@@ -101,7 +101,17 @@ def shard_chunk_counts(
 
 
 class ShardedStaging:
-    """Staged SPMD inputs for one (dataset, mesh, imaging config)."""
+    """
+    Staged SPMD inputs for one (dataset, mesh, imaging config).
+
+    ``vis_re``/``vis_im``/``weights`` are staged in SLOT order (the
+    gridder's block-slot layout, ``ops.gridder.stage_slot_vis``):
+    unweighted phased split visibilities and per-slot effective
+    weights, so the on-device programs are gather-free.
+    ``dup_a``/``dup_b`` are the per-shard straddler slot pairs
+    (padded with out-of-range sentinels) for slot-space model
+    group-sums (``ops.gridder.slot_group_sum``).
+    """
 
     def __init__(
         self,
@@ -113,6 +123,8 @@ class ShardedStaging:
         vis_im,
         weights,
         total_weight,
+        dup_a=None,
+        dup_b=None,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
@@ -122,6 +134,8 @@ class ShardedStaging:
         self.vis_im = vis_im
         self.weights = weights
         self.total_weight = total_weight
+        self.dup_a = dup_a
+        self.dup_b = dup_b
 
     def in_specs(self):
         """(arrays, per-shard array...) partition specs."""
@@ -307,25 +321,50 @@ def stage_planned_shards(
             )
 
     num_vis = plans[first].num_vis
-    # Split (re, im) float32: the TPU compute path is complex-free.
+    # Slot-order staging (split re/im float32, the compute path is
+    # complex-free): gather/flip/phase happen HERE, once per dataset,
+    # so the jitted programs never pay the on-device gather.
+    from ..ops.gridder import (
+        slot_duplicate_pairs,
+        stage_slot_vis,
+        stage_slot_weights,
+    )
+
     vis_re = {}
     vis_im = {}
     weights = {}
+    dups = {}
     local_weight = 0.0
+    max_dups = 0
     for index, (vis, effective) in samples.items():
+        plan = plans[index]
         effective = np.asarray(effective).ravel().astype(np.float32)
         v = np.asarray(vis).ravel()
-        re = np.zeros(num_vis, np.float32)
-        im = np.zeros(num_vis, np.float32)
-        wgt = np.zeros(num_vis, np.float32)
-        re[: len(v)] = v.real
-        im[: len(v)] = v.imag
-        wgt[: len(effective)] = effective
+        pad = plan.num_vis_data - len(v)
+        if pad:
+            v = np.concatenate([v, np.zeros(pad, v.dtype)])
+            effective = np.concatenate(
+                [effective, np.zeros(pad, np.float32)]
+            )
+        re, im = stage_slot_vis(plan, v.real, v.imag)
         vis_re[index] = re
         vis_im[index] = im
-        weights[index] = wgt
+        weights[index] = stage_slot_weights(plan, effective)
+        dups[index] = slot_duplicate_pairs(plan)
+        max_dups = max(max_dups, len(dups[index][0]))
         local_weight += float(effective.sum())
     total_weight = float(_allgather_sum(np.asarray([local_weight]))[0])
+    max_dups = int(_allgather_max(np.asarray([max_dups], np.int64))[0])
+
+    def _padded_dups(which):
+        # Out-of-range sentinel: gathers clip (value unused), scatters
+        # drop (see ops.gridder.slot_group_sum).
+        out = {}
+        for index, pair in dups.items():
+            arr = np.full(max_dups, num_vis, np.int32)
+            arr[: len(pair[which])] = pair[which]
+            out[index] = arr
+        return out
 
     return ShardedStaging(
         mesh,
@@ -336,6 +375,8 @@ def stage_planned_shards(
         _global_sharded(vis_im, (num_vis,), np.float32),
         _global_sharded(weights, (num_vis,), np.float32),
         total_weight,
+        dup_a=_global_sharded(_padded_dups(0), (max_dups,), np.int32),
+        dup_b=_global_sharded(_padded_dups(1), (max_dups,), np.int32),
     )
 
 
@@ -381,7 +422,7 @@ def sharded_invert_dataset(
         step=step,
     )
     axis_name = staging.axis_name
-    invert = build_invert(staging.plans[0])
+    invert = build_invert(staging.plans[0], slot_input=True)
 
     def shard_fn(arrays, vre, vim, wgt):
         arrays = {

@@ -20,7 +20,7 @@ import numpy as np
 from ..ops.gridder import (
     build_invert,
     plan_device_arrays,
-    split_complex,
+    stage_slot_vis,
 )
 from ..ops.plan import make_plan
 from .tile import Tile
@@ -101,16 +101,14 @@ def invert_tile_chunks(
         do_wstacking=do_wstacking,
     )
     arrays = plan_device_arrays(plan)
-    invert = build_invert(plan)
+    invert = build_invert(plan, slot_input=True)
 
     weighted = vis.astype(np.complex64) * weights.astype(np.float32)
-    re, im = split_complex(weighted)
-    re_pad = np.zeros(plan.num_vis, np.float32)
-    im_pad = np.zeros(plan.num_vis, np.float32)
-    re_pad[: len(re)], im_pad[: len(im)] = re, im
-
+    slot_re, slot_im = stage_slot_vis(
+        plan, weighted.real.ravel(), weighted.imag.ravel()
+    )
     image = np.asarray(
-        invert(arrays, jnp.asarray(re_pad), jnp.asarray(im_pad))
+        invert(arrays, jnp.asarray(slot_re), jnp.asarray(slot_im))
     )
     return image / float(weights.sum())
 
@@ -195,7 +193,7 @@ def sharded_invert_tile_chunks(
         samples[index] = (vis, weights)
 
     staging = stage_planned_shards(mesh, plans, samples)
-    invert = build_invert(staging.plans[0])
+    invert = build_invert(staging.plans[0], slot_input=True)
 
     def shard_fn(arrays, vre, vim, wgt):
         arrays = {
