@@ -50,7 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.hostmem import alloc_populated
 from .kernels import es_kernel_jnp
-from .plan import NUM_IN_BUFFERS, PREFETCH_DEPTH, GridderPlan
+from .plan import (
+    NUM_IN_BUFFERS,
+    NUM_OUT_BUFFERS,
+    PREFETCH_DEPTH,
+    GridderPlan,
+)
 
 #: Packed per-visibility rows: xpos, ypos, ws, block_len (broadcast);
 #: rows 4/5 are filled with the split weighted visibilities on device
@@ -151,13 +156,17 @@ def _dot3_pair_m0(lhs_a, lhs_b, rhs, m):
 
 
 def _decode_step(step_val, step_aux, j):
-    """Shared step decode: (value, prefetch block, strip buf, parity)."""
+    """
+    Shared step decode (encoding: ops/plan.py:build_step_tables):
+    (value, prefetch block, strip buffer, input parity, out parity).
+    """
     v = step_val[j]
     aux = step_aux[j]
-    pref = (aux >> 4) - 1
-    sbuf = (aux >> 2) & 1
-    par = aux & 3
-    return v, pref, sbuf, par
+    pref = (aux >> 8) - 1
+    out_par = (aux >> 4) & 15
+    sbuf = (aux >> 3) & 1
+    par = aux & 7
+    return v, pref, sbuf, par, out_par
 
 
 def _kernel_factors(plan: GridderPlan, pack, wp_ref, wstacking):
@@ -241,7 +250,9 @@ def _grid_strip_kernel_factory(plan: GridderPlan):
                 def _():
                     in_copy(jnp.maximum(head, 0), slot).start()
 
-        v, pref, sbuf, par = _decode_step(step_val, step_aux, j)
+        v, pref, sbuf, par, _out_par = _decode_step(
+            step_val, step_aux, j
+        )
         active = j < cnt
 
         @pl.when(active & (pref >= 0))
@@ -403,7 +414,9 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
                 def _():
                     pack_copy(jnp.maximum(head, 0), slot).start()
 
-        v, pref, sbuf, par = _decode_step(step_val, step_aux, j)
+        v, pref, sbuf, par, out_par = _decode_step(
+            step_val, step_aux, j
+        )
         prev2 = step_aux2[j] - 1
         active = j < cnt
 
@@ -432,13 +445,13 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
             # (blocks last and last-1; parity rides in the encoding).
             @pl.when(s == NS - 1)
             def _():
-                for slot in range(NUM_IN_BUFFERS):
+                for slot in range(NUM_OUT_BUFFERS):
                     enc = last_blks[slot]
 
                     @pl.when(enc >= 0)
                     def _():
                         out_copy(
-                            jnp.maximum(enc >> 2, 0), enc & 3
+                            jnp.maximum(enc >> 4, 0), enc & 15
                         ).wait()
 
         @pl.when(active & (v >= 0))
@@ -457,15 +470,15 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
             con_re = jnp.sum(t_re * ay, axis=0, keepdims=True) * amp
             con_im = jnp.sum(t_im * ay, axis=0, keepdims=True) * amp
 
-            # Reuse of this con_buf half must wait for the out-DMA of
-            # the block two steps back (same parity).
+            # Reuse of this ring slot must wait for the out-DMA of
+            # the block NUM_OUT_BUFFERS steps back (same out parity).
             @pl.when(prev2 >= 0)
             def _():
-                out_copy(jnp.maximum(prev2, 0), par).wait()
+                out_copy(jnp.maximum(prev2, 0), out_par).wait()
 
-            con_buf[par, 0:1, :] = con_re
-            con_buf[par, 1:2, :] = con_im
-            out_copy(b, par).start()
+            con_buf[out_par, 0:1, :] = con_re
+            con_buf[out_par, 1:2, :] = con_im
+            out_copy(b, out_par).start()
 
     return kernel
 
@@ -568,10 +581,10 @@ def build_degrid_planes_pallas(
             pltpu.VMEM((2, PX, NY), jnp.float32),
             pltpu.VMEM((2, PX, NY), jnp.float32),
             pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
-            pltpu.VMEM((NUM_IN_BUFFERS, 2, B), jnp.float32),
+            pltpu.VMEM((NUM_OUT_BUFFERS, 2, B), jnp.float32),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
+            pltpu.SemaphoreType.DMA((NUM_OUT_BUFFERS,)),
         ],
     )
 

@@ -69,8 +69,15 @@ MAX_SEG_WIDTH = 4864
 #: PREFETCH_DEPTH block-steps ahead into NUM_IN_BUFFERS slots, hiding
 #: DMA latency behind several steps of compute (a one-step lookahead
 #: left the MXU stalling on ~us DMA latency each ~0.3 us step).
-NUM_IN_BUFFERS = 4
-PREFETCH_DEPTH = 3
+NUM_IN_BUFFERS = 8
+PREFETCH_DEPTH = 6
+
+#: Output ring of the degrid kernel: per-block (2, B) contribution
+#: writes are tiny (1 KB) latency-bound DMAs, so the ring must be deep
+#: enough that a write issued at block-step k has completed by step
+#: k + NUM_OUT_BUFFERS when its slot is reused (a 4-deep ring left the
+#: kernel stalling ~1 us per step waiting on write completions).
+NUM_OUT_BUFFERS = 16
 
 
 def next_even_grid_size(n: int) -> int:
@@ -265,17 +272,19 @@ def build_step_tables(
     from SMEM. Encoding:
 
     * ``step_val``: block id (>= 0), sentinel ``-1 - strip``, pad -2.
-    * ``step_aux``: ``(pref + 1) << 4 | strip_parity << 2 | parity``
-      where ``pref`` is the block whose input DMA to start at this
-      step (``PREFETCH_DEPTH`` blocks ahead) and ``parity`` the
-      block's slot in the ``NUM_IN_BUFFERS``-deep input pipeline.
-    * ``step_aux2``: block id ``NUM_IN_BUFFERS`` block-steps behind,
+    * ``step_aux``: ``(pref + 1) << 8 | out_parity << 4 |
+      strip_parity << 3 | in_parity`` where ``pref`` is the block
+      whose input DMA to start at this step (``PREFETCH_DEPTH`` blocks
+      ahead), ``in_parity`` the block's slot in the
+      ``NUM_IN_BUFFERS``-deep input pipeline, and ``out_parity`` its
+      slot in the ``NUM_OUT_BUFFERS``-deep degrid output ring.
+    * ``step_aux2``: block id ``NUM_OUT_BUFFERS`` block-steps behind,
       plus one (0 if none) — the degrid kernel waits that block's
-      output DMA before reusing its buffer slot.
-    * ``head_blocks``: the first ``PREFETCH_DEPTH`` blocks, whose DMAs
+      output DMA before reusing its ring slot.
+    * ``first_block``: the first ``PREFETCH_DEPTH`` blocks, whose DMAs
       step 0 launches to fill the pipeline.
-    * ``last_blocks``: the final ``NUM_IN_BUFFERS`` blocks encoded as
-      ``block << 2 | parity`` for the degrid output drain.
+    * ``last_blocks``: the final ``NUM_OUT_BUFFERS`` blocks encoded as
+      ``block << 4 | out_parity`` for the degrid output drain.
     """
     num_blocks = len(plane_lo)
     if block_segment is None:
@@ -302,7 +311,7 @@ def build_step_tables(
         (nplanes, num_segments, PREFETCH_DEPTH), -1, dtype=np.int32
     )
     last_blocks = np.full(
-        (nplanes, num_segments, NUM_IN_BUFFERS), -1, dtype=np.int32
+        (nplanes, num_segments, NUM_OUT_BUFFERS), -1, dtype=np.int32
     )
 
     for (p, g), active in actives.items():
@@ -324,19 +333,20 @@ def build_step_tables(
         cur_strip = np.zeros(nb + num_strips, dtype=np.int64)
         cur_strip[pos_blocks] = strips
         cur_strip[pos_sent] = np.arange(num_strips)
-        aux |= (cur_strip % 2).astype(np.int32) << 2
-        parity = (np.arange(nb) % NUM_IN_BUFFERS).astype(np.int32)
-        aux[pos_blocks] |= parity
+        aux |= (cur_strip % 2).astype(np.int32) << 3
+        in_par = (np.arange(nb) % NUM_IN_BUFFERS).astype(np.int32)
+        out_par = (np.arange(nb) % NUM_OUT_BUFFERS).astype(np.int32)
+        aux[pos_blocks] |= in_par | (out_par << 4)
         pref = np.zeros(nb + num_strips, dtype=np.int32)
         if nb > PREFETCH_DEPTH:
             pref[pos_blocks[:-PREFETCH_DEPTH]] = (
                 active[PREFETCH_DEPTH:] + 1
             )
-        aux |= pref << 4
+        aux |= pref << 8
         aux2 = np.zeros(nb + num_strips, dtype=np.int32)
-        if nb > NUM_IN_BUFFERS:
-            aux2[pos_blocks[NUM_IN_BUFFERS:]] = (
-                active[:-NUM_IN_BUFFERS] + 1
+        if nb > NUM_OUT_BUFFERS:
+            aux2[pos_blocks[NUM_OUT_BUFFERS:]] = (
+                active[:-NUM_OUT_BUFFERS] + 1
             )
         n_steps = nb + num_strips
         step_val[p, g, :n_steps] = vals
@@ -345,11 +355,13 @@ def build_step_tables(
         step_count[p, g] = n_steps
         head = active[:PREFETCH_DEPTH]
         first_block[p, g, : len(head)] = head
-        # Encoded (block << 2 | parity) for the degrid drain
-        tail = active[-NUM_IN_BUFFERS:]
-        tail_k = np.arange(nb)[-NUM_IN_BUFFERS:]
+        # Encoded (block << 4 | out_parity) for the degrid drain
+        tail = active[-NUM_OUT_BUFFERS:]
+        tail_k = np.arange(nb)[-NUM_OUT_BUFFERS:]
         for slot, (blk, k) in enumerate(zip(tail, tail_k)):
-            last_blocks[p, g, slot] = (blk << 2) | (k % NUM_IN_BUFFERS)
+            last_blocks[p, g, slot] = (blk << 4) | (
+                k % NUM_OUT_BUFFERS
+            )
 
     return {
         "step_val": step_val,
@@ -434,9 +446,12 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         return out
 
     # Sentinel-only step rows for padding planes: they still write the
-    # (zero) grid so every plane's output is fully defined.
+    # (zero) grid so every plane's output is fully defined. The strip
+    # parity bit MUST match the kernel decode (bit 3) — a wrong parity
+    # makes a sentinel wait on the other buffer's never-started write
+    # DMA and deadlocks the kernel.
     sent_val = (-1 - np.arange(num_strips)).astype(np.int32)
-    sent_aux = ((np.arange(num_strips) % 2) << 1).astype(np.int32)
+    sent_aux = ((np.arange(num_strips) % 2) << 3).astype(np.int32)
 
     padded = []
     for p in plans:
@@ -465,7 +480,7 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         )
         first_block[:rows] = p.first_block
         last_blocks = np.full(
-            (nplanes, num_segments, NUM_IN_BUFFERS), -1, dtype=np.int32
+            (nplanes, num_segments, NUM_OUT_BUFFERS), -1, dtype=np.int32
         )
         last_blocks[:rows] = p.last_blocks
         block_start = (

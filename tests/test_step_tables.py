@@ -9,6 +9,7 @@ import numpy as np
 
 from ska_sdp_cip_tpu.ops.plan import (
     NUM_IN_BUFFERS,
+    NUM_OUT_BUFFERS,
     PREFETCH_DEPTH,
     build_step_tables,
 )
@@ -73,20 +74,21 @@ def test_step_tables_pipeline_encoding():
         count = tables["step_count"][p, 0]
         steps = row[:count]
         blocks = steps[steps >= 0]
-        # parity cycles through the input-buffer ring in block order
+        # parities cycle through the input/output rings in block order
         k = 0
         for j in range(count):
             if steps[j] < 0:
                 continue
-            assert aux[j] & 3 == k % NUM_IN_BUFFERS
-            pref = (aux[j] >> 4) - 1
+            assert aux[j] & 7 == k % NUM_IN_BUFFERS
+            assert (aux[j] >> 4) & 15 == k % NUM_OUT_BUFFERS
+            pref = (aux[j] >> 8) - 1
             if k + PREFETCH_DEPTH < len(blocks):
                 assert pref == blocks[k + PREFETCH_DEPTH]
             else:
                 assert pref == -1
             prev = tables["step_aux2"][p, 0][j] - 1
-            if k >= NUM_IN_BUFFERS:
-                assert prev == blocks[k - NUM_IN_BUFFERS]
+            if k >= NUM_OUT_BUFFERS:
+                assert prev == blocks[k - NUM_OUT_BUFFERS]
             else:
                 assert prev == -1
             k += 1
@@ -95,9 +97,47 @@ def test_step_tables_pipeline_encoding():
         expect = list(blocks[:PREFETCH_DEPTH])
         assert list(head[: len(expect)]) == expect
         assert (head[len(expect):] == -1).all()
-        # Drain encodings carry (block << 2 | parity)
+        # Drain encodings carry (block << 4 | out parity)
         last = tables["last_blocks"][p, 0]
-        tail = blocks[-NUM_IN_BUFFERS:]
-        tail_k = np.arange(len(blocks))[-NUM_IN_BUFFERS:]
+        tail = blocks[-NUM_OUT_BUFFERS:]
+        tail_k = np.arange(len(blocks))[-NUM_OUT_BUFFERS:]
         for slot, (b, kk) in enumerate(zip(tail, tail_k)):
-            assert last[slot] == (b << 2 | (kk % NUM_IN_BUFFERS))
+            assert last[slot] == (b << 4 | (kk % NUM_OUT_BUFFERS))
+
+
+def test_padded_plane_rows_match_kernel_parity_decode():
+    """
+    pad_plans_uniform fills padding planes with sentinel-only step
+    rows; their strip-parity bit must sit where the kernel decode
+    reads it (bit 3) or a sentinel waits on the other strip buffer's
+    never-started write DMA and the kernel deadlocks on hardware.
+    """
+    from ska_sdp_cip_tpu.io.synth import synthetic_uvw
+    from ska_sdp_cip_tpu.ops.plan import make_plan, pad_plans_uniform
+
+    uvw, _ = synthetic_uvw(2, 8, max_baseline_m=2500.0, seed=4)
+    freqs = np.linspace(1.3e9, 1.35e9, 2)
+    plan = make_plan(
+        uvw,
+        freqs,
+        64,
+        float(np.sin(np.radians(40.0 / 3600.0))),
+        epsilon=1e-3,
+    )
+    (padded,) = pad_plans_uniform([plan], {
+        "num_blocks": plan.num_blocks,
+        "max_active": plan.max_active,
+        "nplanes": plan.nplanes + 3,
+        "max_steps": plan.step_val.shape[-1],
+    })
+    for p in range(plan.nplanes, padded.nplanes):
+        for g in range(padded.num_y_segments):
+            row = padded.step_val[p, g]
+            aux = padded.step_aux[p, g]
+            count = padded.step_count[p, g]
+            assert count == plan.num_strips
+            sentinels = row[:count]
+            assert list(-1 - sentinels) == list(range(plan.num_strips))
+            # strip parity bit (bit 3) alternates with the strip index
+            for s in range(plan.num_strips):
+                assert (aux[s] >> 3) & 1 == s % 2
