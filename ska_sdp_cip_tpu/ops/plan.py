@@ -56,10 +56,39 @@ DEFAULT_PATCH_X = 128
 DEFAULT_PATCH_Y = 128
 
 #: Visibilities per block: the contraction length of the per-block
-#: gridding matmul. 128 = one MXU pass; smaller blocks raise the slot
-#: fill factor of wbin-pure tiles (measured ~0.88 vs ~0.61 at 512 on
-#: MeerKAT-like uv coverage), and MXU time scales with filled slots.
+#: gridding matmul, and the kernel's step granularity. Per-step
+#: overhead (decode, DMA management, VPU op issue) dominates small
+#: steps, so bigger blocks are faster — measured grid-kernel
+#: throughput on one v5e chip at the 5.8M-vis bench workload:
+#: 37.9 (B=128) / 45.4 (256) / 49.7 (512) / 52.9 (1024) Mvis/s —
+#: while slot fill of the (tile, w-bin)-pure groups drops with B
+#: (0.95 / 0.94 / 0.92 / 0.87 there; 128 measured ~0.88 vs ~0.61 at
+#: 512 on a 730k-vis workload where groups are 8x smaller). make_plan
+#: picks a block size from the visibility count by default
+#: (:func:`auto_block`); CIP_BLOCK overrides.
 DEFAULT_BLOCK = 128
+
+
+def auto_block(num_vis: int) -> int:
+    """
+    Default visibilities-per-block for a shard of ``num_vis`` samples:
+    scale with workload size (group occupancy grows with density, so
+    large shards afford long blocks at high fill), clamped to
+    [128, 512]. Override with the ``CIP_BLOCK`` env var.
+    """
+    import os
+
+    env = os.environ.get("CIP_BLOCK")
+    if env:
+        block = int(env)
+        if block % 128:
+            raise ValueError("CIP_BLOCK must be a multiple of 128")
+        return block
+    if num_vis >= 4_000_000:
+        return 512
+    if num_vis >= 1_500_000:
+        return 256
+    return DEFAULT_BLOCK
 
 #: Maximum strip-buffer width in lanes (owned lanes + patch overhang):
 #: four (128, width) f32 buffers must fit the ~16 MB VMEM.
@@ -550,7 +579,7 @@ def make_plan(
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
     sigma: float = 2.0,
-    block: int = DEFAULT_BLOCK,
+    block: int | None = None,
     min_blocks: int = 1,
     min_active: int = 1,
     min_planes: int = 1,
@@ -570,6 +599,8 @@ def make_plan(
 
     num_vis = len(uvw) * len(freqs)
     use_native = _native.available() and num_vis > 0
+    if block is None:
+        block = auto_block(num_vis)
 
     support = kernel_support_for_epsilon(epsilon, sigma)
     beta = es_beta(support, sigma)

@@ -222,6 +222,16 @@ def stage_sharded_inputs(
                 shard.flags = np.zeros_like(shard.flags)
 
     with step("plan_shards"):
+        # Shard plans must agree on the block size (pad_plans_uniform
+        # unifies them into one SPMD program), so derive it from the
+        # global per-shard visibility count, not each shard's own.
+        from ..ops.plan import auto_block
+
+        block = auto_block(
+            reader.num_data_rows
+            * reader.num_channels
+            // max(num_devices, 1)
+        )
         local_plans = {
             index: make_plan(
                 shard.uvw,
@@ -230,6 +240,7 @@ def stage_sharded_inputs(
                 pixel_size_lm,
                 epsilon=epsilon,
                 do_wstacking=do_wstacking,
+                block=block,
             )
             for index, shard in shards.items()
         }

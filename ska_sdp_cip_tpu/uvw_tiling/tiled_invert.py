@@ -176,6 +176,13 @@ def sharded_invert_tile_chunks(
         loads[device] += path.stat().st_size
 
     ref_freq = float(np.max(np.asarray(channel_frequencies)))
+    # Shard plans must agree on the block size (they are padded into
+    # one SPMD program); derive it from the average per-device load.
+    from ..ops.plan import auto_block
+
+    total_bytes = sum(path.stat().st_size for path in paths)
+    approx_vis = total_bytes // 16  # vis c64 + uvw share per sample
+    block = auto_block(int(approx_vis) // max(num_devices, 1))
     plans = {}
     samples = {}
     for index in addressable_shard_indices(mesh):
@@ -189,6 +196,7 @@ def sharded_invert_tile_chunks(
             pixel_size_lm,
             epsilon=epsilon,
             do_wstacking=do_wstacking,
+            block=block,
         )
         samples[index] = (vis, weights)
 

@@ -146,3 +146,49 @@ def test_pallas_segmented_matches_xla(apply_w, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(pal_im), np.asarray(xla_im), atol=2e-5 * scale
     )
+
+
+@pytest.mark.parametrize("block", [256, 512])
+def test_pallas_larger_blocks_match_xla(block):
+    """
+    The auto-block heuristic (ops/plan.py:auto_block) picks 256/512-vis
+    blocks on production-size shards; pin the kernel's correctness at
+    those block sizes (multi-K-pass MXU contractions, bigger DMAs).
+    """
+    rng = np.random.default_rng(41)
+    uvw, _ = synthetic_uvw(4, 12, max_baseline_m=5000.0, seed=37)
+    freqs = np.array([1.0e9, 1.07e9, 1.12e9])
+    shape = (len(uvw), 3)
+    vis = (
+        rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    ).astype(np.complex64)
+    wgt = rng.uniform(0.5, 2.0, size=shape).astype(np.float32)
+    pix = float(np.sin(np.radians(40.0 / 3600)))
+
+    plan = make_plan(uvw, freqs, 96, pix, epsilon=1e-4, block=block)
+    assert plan.block == block
+    arrays = plan_device_arrays(plan)
+    re, im = split_complex((vis * wgt).ravel())
+    re_pad = np.zeros(plan.num_vis, np.float32)
+    im_pad = np.zeros(plan.num_vis, np.float32)
+    re_pad[: len(re)], im_pad[: len(im)] = re, im
+    args = (arrays, jnp.asarray(re_pad), jnp.asarray(im_pad))
+
+    xla_image = np.asarray(build_invert(plan, gridder="xla")(*args))
+    pallas_image = np.asarray(
+        build_invert(plan, gridder="pallas_interpret")(*args)
+    )
+    np.testing.assert_allclose(
+        pallas_image,
+        xla_image,
+        atol=2e-5 * np.abs(xla_image).max(),
+        rtol=1e-3,
+    )
+
+
+def test_auto_block_thresholds():
+    from ska_sdp_cip_tpu.ops.plan import auto_block
+
+    assert auto_block(10_000) == 128
+    assert auto_block(2_000_000) == 256
+    assert auto_block(6_000_000) == 512
