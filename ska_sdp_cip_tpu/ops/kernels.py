@@ -64,10 +64,20 @@ def es_kernel_np(z: np.ndarray, beta: float) -> np.ndarray:
 
 
 def es_kernel_jnp(z, beta: float):
-    """ES kernel on |z|<=1, zero outside (jnp, works under jit)."""
-    inside = jnp.abs(z) <= 1.0
-    arg = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0)) - 1.0
-    return jnp.where(inside, jnp.exp(beta * arg), 0.0)
+    """
+    ES kernel on |z|<1, zero outside (jnp, works under jit).
+
+    This sits on the VPU critical path of the gridding kernels (two
+    (patch, block) evaluations per block-step), so it is written for
+    minimum op count: the inside test reuses ``1 - z*z`` instead of a
+    separate ``|z|`` pass, and the exponent is an fma
+    (``beta*s - beta``). At ``|z| == 1`` exactly this returns 0 where
+    the closed form gives ``exp(-beta)`` ~ 1e-6 — below the kernel's
+    own truncation floor.
+    """
+    t = 1.0 - z * z
+    s = jnp.sqrt(jnp.maximum(t, 0.0))
+    return jnp.where(t > 0.0, jnp.exp(beta * s - beta), 0.0)
 
 
 def gauss_legendre_kernel_quadrature(

@@ -63,8 +63,11 @@ DEFAULT_PATCH_Y = 128
 #: 37.9 (B=128) / 45.4 (256) / 49.7 (512) / 52.9 (1024) Mvis/s —
 #: while slot fill of the (tile, w-bin)-pure groups drops with B
 #: (0.95 / 0.94 / 0.92 / 0.87 there; 128 measured ~0.88 vs ~0.61 at
-#: 512 on a 730k-vis workload where groups are 8x smaller). make_plan
-#: picks a block size from the visibility count by default
+#: 512 on a 730k-vis workload where groups are 8x smaller). End-to-end
+#: at 5.8M vis, B=1024 beats 512 on every stage (invert 47.6 vs 45.2
+#: Mvis/s, predict 45.1 vs 39.3, major cycle 0.290 vs 0.316 s): the
+#: per-step overhead saved outweighs the fill loss. make_plan picks a
+#: block size from the visibility count by default
 #: (:func:`auto_block`); CIP_BLOCK overrides.
 DEFAULT_BLOCK = 128
 
@@ -84,6 +87,8 @@ def auto_block(num_vis: int) -> int:
         if block % 128:
             raise ValueError("CIP_BLOCK must be a multiple of 128")
         return block
+    if num_vis >= 5_000_000:
+        return 1024
     if num_vis >= 4_000_000:
         return 512
     if num_vis >= 1_500_000:

@@ -148,12 +148,13 @@ def test_pallas_segmented_matches_xla(apply_w, monkeypatch):
     )
 
 
-@pytest.mark.parametrize("block", [256, 512])
+@pytest.mark.parametrize("block", [256, 512, 1024])
 def test_pallas_larger_blocks_match_xla(block):
     """
-    The auto-block heuristic (ops/plan.py:auto_block) picks 256/512-vis
-    blocks on production-size shards; pin the kernel's correctness at
-    those block sizes (multi-K-pass MXU contractions, bigger DMAs).
+    The auto-block heuristic (ops/plan.py:auto_block) picks 256/512/
+    1024-vis blocks on production-size shards; pin the kernel's
+    correctness at those block sizes (multi-K-pass MXU contractions,
+    bigger DMAs).
     """
     rng = np.random.default_rng(41)
     uvw, _ = synthetic_uvw(4, 12, max_baseline_m=5000.0, seed=37)
@@ -191,4 +192,5 @@ def test_auto_block_thresholds():
 
     assert auto_block(10_000) == 128
     assert auto_block(2_000_000) == 256
-    assert auto_block(6_000_000) == 512
+    assert auto_block(4_500_000) == 512
+    assert auto_block(6_000_000) == 1024
