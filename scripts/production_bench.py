@@ -47,6 +47,7 @@ def main() -> None:
     from ska_sdp_cip_tpu.io.synth import synthetic_uvw
     from ska_sdp_cip_tpu.ops.gridder import (
         build_invert,
+        build_predict,
         plan_device_arrays,
         split_complex,
     )
@@ -108,6 +109,33 @@ def main() -> None:
     _ = float(np.asarray(peak2))
     invert_seconds = time.time() - t0
 
+    # Degrid at production grid size: the lane-segmented degrid kernel
+    # (one pallas_call per y-segment, here num_y_segments > 1) only
+    # exists on real hardware — interpret-mode tests cannot exercise
+    # its DMA ring. Also proves the 20480^2 spectral planes fit
+    # alongside the predict pipeline's buffers.
+    predict = build_predict(plan)
+
+    @jax.jit
+    def run_predict(arrays, image, seed):
+        out_re, out_im = predict(
+            arrays, image * (1.0 + seed * 1e-30)
+        )
+        return (
+            jnp.max(jnp.abs(out_re)) + jnp.max(jnp.abs(out_im)),
+            out_re[0],
+        )
+
+    image = jnp.ones((NUM_PIXELS, NUM_PIXELS), jnp.float32)
+    t0 = time.time()
+    vpk, _ = run_predict(arrays, image, jnp.float32(0.0))
+    vpk = float(np.asarray(vpk))
+    predict_first_seconds = time.time() - t0
+    t0 = time.time()
+    vpk2, _ = run_predict(arrays, image, jnp.float32(1.0))
+    _ = float(np.asarray(vpk2))
+    predict_seconds = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -123,8 +151,15 @@ def main() -> None:
                 "stage_seconds": round(stage_seconds, 2),
                 "compile_plus_first_seconds": round(first_seconds, 2),
                 "invert_seconds": round(invert_seconds, 3),
+                "predict_compile_plus_first_seconds": round(
+                    predict_first_seconds, 2
+                ),
+                "predict_seconds": round(predict_seconds, 3),
                 "image_abs_max": peak,
-                "finite": bool(np.isfinite(peak)),
+                "predict_abs_max": vpk,
+                "finite": bool(
+                    np.isfinite(peak) and np.isfinite(vpk)
+                ),
             }
         )
     )
