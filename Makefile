@@ -1,7 +1,7 @@
 # Developer entry points (reference: Makefile + PrivateRules.mak drive
 # lint/test via SKA templates; here: plain make targets).
 
-.PHONY: test lint bench coverage
+.PHONY: test lint bench coverage native
 
 test:
 	python -m pytest tests/ -q
