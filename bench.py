@@ -165,7 +165,7 @@ def main() -> None:
         def body(k, model):
             model_re, model_im = predict(arrays, model)
             model_re, model_im = slot_group_sum(
-                plan, model_re, model_im, dup_a, dup_b
+                model_re, model_im, dup_a, dup_b
             )
             res_re = (re - model_re * wgt) * (
                 1.0 + (seed + k) * 1e-30

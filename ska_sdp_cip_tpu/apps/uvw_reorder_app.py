@@ -93,16 +93,42 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--run-id",
         type=str,
-        default="run",
+        default=None,
         help=(
             "Label scoping the multi-host pass-1 barrier markers. Must "
-            "be identical on every host of one launch; use a fresh "
-            "value when re-running into an outdir that may hold "
-            "markers from an earlier launch, or stale markers could "
-            "release the barrier early"
+            "be identical on every host of one launch and FRESH per "
+            "launch (a stale marker from an earlier launch into the "
+            "same outdir would release the barrier early). Default: "
+            "$CIP_RUN_ID, then $SLURM_JOB_ID; with neither set, "
+            "multi-host runs refuse to start without an explicit value"
         ),
     )
     return parser
+
+
+def resolve_run_id(run_id, num_hosts: int) -> str:
+    """
+    Resolve the barrier run id: explicit flag, else a launch-scoped id
+    every host agrees on ($CIP_RUN_ID, then the scheduler's job id).
+    Refuses to fall back to a constant for multi-host runs — a
+    colliding default is exactly the stale-marker footgun the round-1
+    advisor warned about.
+    """
+    import os
+
+    if run_id:
+        return run_id
+    for var in ("CIP_RUN_ID", "SLURM_JOB_ID"):
+        value = os.environ.get(var)
+        if value:
+            return value
+    if num_hosts > 1:
+        raise SystemExit(
+            "--run-id is required for multi-host reorder runs (or set "
+            "CIP_RUN_ID identically on every host): barrier markers "
+            "must be scoped to one launch"
+        )
+    return "run"
 
 
 def run_program(cli_args: list) -> None:
@@ -132,8 +158,10 @@ def run_program(cli_args: list) -> None:
 
         from ..uvw_tiling.reorder import reorder_pass1, reorder_pass2
 
+        run_id = resolve_run_id(args.run_id, args.num_hosts)
+
         def _marker(index: int) -> Path:
-            return outdir / f"host{index}.pass1.{args.run_id}.done"
+            return outdir / f"host{index}.pass1.{run_id}.done"
 
         # A marker left by a previous launch with the same run id can
         # release the barrier before the other hosts finish pass 1

@@ -63,10 +63,18 @@ class StokesIGridderInput:
         stokes_i_flags = flags[..., (0, 3)].max(axis=-1)
 
         weights = reader.weights()
-        with np.errstate(divide="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore"):
             wxx = weights[..., 0]
             wyy = weights[..., 3]
             stokes_i_weights = 4.0 / (1.0 / wxx + 1.0 / wyy)
+        # The reference leaves 4/(1/0 + ...) = nan for zero-weight
+        # samples (invert.py:106-108), relying on such rows always
+        # being flagged — but ``~flag * nan`` is still nan, so an
+        # unflagged zero-weight sample would poison the image sum.
+        # Clamp to 0: zero inverse variance means no information.
+        stokes_i_weights = np.where(
+            np.isfinite(stokes_i_weights), stokes_i_weights, 0.0
+        )
 
         return cls(
             channel_frequencies=reader.channel_frequencies(),

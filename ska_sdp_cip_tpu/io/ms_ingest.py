@@ -45,14 +45,26 @@ def ms_to_vz(
     chan_freq = reader.channel_frequencies()
     np.save(vz_path / "chan_freq.npy", np.asarray(chan_freq, np.float64))
 
-    # Stream row blocks into pre-allocated memmapped outputs.
+    # Stream row blocks into pre-allocated memmapped outputs. Weights
+    # keep the source MS's granularity: a per-sample WEIGHT_SPECTRUM
+    # column converts as-is, but a row-level WEIGHT column stays
+    # (nrows, npol) — materializing it along frequency would blow up
+    # the store nchan-fold for nothing (the VZ reader broadcasts on
+    # demand, _VZBackend.weights).
+    has_spectrum = backend.has_weight_spectrum()
     columns = {
         "uvw.npy": ((num_rows, 3), np.float64),
         "data.npy": ((num_rows, num_channels, 4), np.complex64),
         "flag.npy": ((num_rows, num_channels, 4), bool),
-        "weight_spectrum.npy": ((num_rows, num_channels, 4), np.float32),
         "time.npy": ((num_rows,), np.float64),
     }
+    if has_spectrum:
+        columns["weight_spectrum.npy"] = (
+            (num_rows, num_channels, 4),
+            np.float32,
+        )
+    else:
+        columns["weight.npy"] = ((num_rows, 4), np.float32)
     outputs = {
         name: np.lib.format.open_memmap(
             vz_path / name, mode="w+", dtype=dtype, shape=shape
@@ -69,9 +81,14 @@ def ms_to_vz(
         outputs["flag.npy"][start:stop] = backend.flags(
             start, stop, 0, num_channels
         )
-        outputs["weight_spectrum.npy"][start:stop] = backend.weights(
-            start, stop, 0, num_channels
-        )
+        if has_spectrum:
+            outputs["weight_spectrum.npy"][start:stop] = backend.weights(
+                start, stop, 0, num_channels
+            )
+        else:
+            outputs["weight.npy"][start:stop] = backend.row_weights(
+                start, stop
+            )
         outputs["time.npy"][start:stop] = backend.time(start, stop)
 
     for array in outputs.values():

@@ -363,6 +363,14 @@ class _Backend:
     def weights(self, r0: int, r1: int, c0: int, c1: int) -> NDArray:
         raise NotImplementedError
 
+    def has_weight_spectrum(self) -> bool:
+        """True if per-sample WEIGHT_SPECTRUM data is stored."""
+        raise NotImplementedError
+
+    def row_weights(self, r0: int, r1: int) -> NDArray:
+        """Row-level WEIGHT column, shape ``(nrows, npol)``."""
+        raise NotImplementedError
+
 
 class _VZBackend(_Backend):
     """
@@ -432,6 +440,12 @@ class _VZBackend(_Backend):
         return np.broadcast_to(
             weight.reshape(nrow, 1, npol), (nrow, c1 - c0, npol)
         ).copy()
+
+    def has_weight_spectrum(self) -> bool:
+        return self._has_column("weight_spectrum")
+
+    def row_weights(self, r0: int, r1: int) -> NDArray:
+        return np.asarray(self._column("weight")[r0:r1])
 
 
 class _CasacoreBackend(_Backend):
@@ -521,12 +535,27 @@ class _CasacoreBackend(_Backend):
         try:
             return self._slice_main("WEIGHT_SPECTRUM", r0, r1, c0, c1)
         except RuntimeError:
-            with self._open() as tbl:
-                weight = tbl.getcolslice(
-                    "WEIGHT", blc=0, trc=3, startrow=r0, nrow=r1 - r0
-                )
+            weight = self.row_weights(r0, r1)
             nrow, npol = weight.shape
             return weight.reshape(nrow, 1, npol).repeat(c1 - c0, axis=1)
+
+    def has_weight_spectrum(self) -> bool:
+        # The column may be declared but hold no data; probe one row
+        # the same way weights() falls back (getcolslice raises
+        # RuntimeError for both missing and empty columns).
+        if self.num_rows() == 0:
+            return False
+        try:
+            self._slice_main("WEIGHT_SPECTRUM", 0, 1, 0, 1)
+            return True
+        except RuntimeError:
+            return False
+
+    def row_weights(self, r0: int, r1: int) -> NDArray:
+        with self._open() as tbl:
+            return tbl.getcolslice(
+                "WEIGHT", blc=0, trc=3, startrow=r0, nrow=r1 - r0
+            )
 
 
 # ----------------------------------------------------------------------

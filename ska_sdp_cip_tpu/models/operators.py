@@ -203,7 +203,7 @@ class MeasurementOperator:
         """
         acc_re, acc_im = self._predict_slots(self.arrays, image)
         acc_re, acc_im = slot_group_sum(
-            self.plan, acc_re, acc_im, self.dup_a, self.dup_b
+            acc_re, acc_im, self.dup_a, self.dup_b
         )
         return SlotVis(acc_re, acc_im)
 

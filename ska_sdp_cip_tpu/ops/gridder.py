@@ -254,6 +254,12 @@ def plan_order_host(plan: GridderPlan) -> dict:
 
     if plan.phase_cos is not None:
         phase_cos, phase_sin = plan.phase_cos, plan.phase_sin
+    elif not plan.wstacking:
+        # No w-stacking -> no w-shift pre-phase: identity factors, so
+        # psf()/slot-space consumers that read them unconditionally
+        # stay correct (staging skips the rotation in this mode).
+        phase_cos = np.ones(plan.num_vis, np.float32)
+        phase_sin = np.zeros(plan.num_vis, np.float32)
     else:
         factor = -2.0 * np.pi * plan.n_mid
         if _native.available() and plan.num_vis:
@@ -336,12 +342,21 @@ def slot_duplicate_pairs(plan: GridderPlan) -> tuple:
     eq = (sorted_order[1:] == sorted_order[:-1]) & (
         sorted_order[1:] < plan.num_vis_data
     )
+    # slot_group_sum assumes each source sample occupies at most TWO
+    # slots (single lane-straddle duplication today). A future plan
+    # change duplicating into 3+ slots would silently produce wrong
+    # pairwise group sums — fail loudly instead.
+    if eq.size and np.any(eq[1:] & eq[:-1]):
+        raise ValueError(
+            "slot plan duplicates a source sample into >2 slots; "
+            "slot_group_sum's pairwise model no longer applies"
+        )
     dup_a = perm[:-1][eq].astype(np.int32)
     dup_b = perm[1:][eq].astype(np.int32)
     return dup_a, dup_b
 
 
-def slot_group_sum(plan: GridderPlan, acc_re, acc_im, dup_a, dup_b):
+def slot_group_sum(acc_re, acc_im, dup_a, dup_b):
     """
     Sum duplicated-slot contributions so every slot carries its source
     sample's FULL model value: ``out[i] = acc[i] + acc[partner(i)]``

@@ -77,15 +77,18 @@ def auto_block(num_vis: int) -> int:
     Default visibilities-per-block for a shard of ``num_vis`` samples:
     scale with workload size (group occupancy grows with density, so
     large shards afford long blocks at high fill), clamped to
-    [128, 512]. Override with the ``CIP_BLOCK`` env var.
+    [128, 1024]. Override with the ``CIP_BLOCK`` env var (a positive
+    multiple of 128).
     """
     import os
 
     env = os.environ.get("CIP_BLOCK")
     if env:
         block = int(env)
-        if block % 128:
-            raise ValueError("CIP_BLOCK must be a multiple of 128")
+        if block < 128 or block % 128:
+            raise ValueError(
+                "CIP_BLOCK must be a positive multiple of 128"
+            )
         return block
     if num_vis >= 5_000_000:
         return 1024
@@ -734,7 +737,11 @@ def make_plan(
             block=block,
             min_blocks=min_blocks,
             pad_order=num_vis,
-            phase_factor=-2.0 * np.pi * n_mid,
+            # Slot staging applies the w-shift pre-phase only when
+            # w-stacking is on; without it the phases must be identity
+            # (cos=1, sin=0) or psf()/slot-input inverts pick up a
+            # spurious per-slot rotation (round-2 advisor finding).
+            phase_factor=(-2.0 * np.pi * n_mid) if wstacking else 0.0,
         )
         num_blocks = slot["num_blocks"]
         num_blocks_padded = len(slot["block_len"])

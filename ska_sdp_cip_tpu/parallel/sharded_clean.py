@@ -105,7 +105,7 @@ def sharded_major_cycle_clean(
 
         model_re, model_im = predict(arrays, model)
         model_re, model_im = slot_group_sum(
-            plan0, model_re, model_im, dup_a, dup_b
+            model_re, model_im, dup_a, dup_b
         )
         res_re = (vre - model_re) * wgt
         res_im = (vim - model_im) * wgt

@@ -113,6 +113,27 @@ def invert_tile_chunks(
     return image / float(weights.sum())
 
 
+def _tile_chunk_num_vis(path: Path) -> int:
+    """
+    Exact stored-visibility count of a tile chunk file, read from the
+    npy header of the ``visibilities`` zip member alone — no array data
+    is decompressed or loaded. Used to pick the shared block size
+    (previously approximated as ``file_bytes // 16``, which drifts with
+    compression and the uvw/weights share per sample).
+    """
+    import zipfile
+
+    with zipfile.ZipFile(path) as archive:
+        with archive.open("visibilities.npy") as member:
+            version = np.lib.format.read_magic(member)
+            if version >= (2, 0):
+                header = np.lib.format.read_array_header_2_0
+            else:
+                header = np.lib.format.read_array_header_1_0
+            shape, _, _ = header(member)
+    return int(np.prod(shape))
+
+
 def _scaled_tile_samples(
     paths: Sequence[Path], channel_frequencies, ref_freq: float
 ) -> tuple:
@@ -180,9 +201,8 @@ def sharded_invert_tile_chunks(
     # one SPMD program); derive it from the average per-device load.
     from ..ops.plan import auto_block
 
-    total_bytes = sum(path.stat().st_size for path in paths)
-    approx_vis = total_bytes // 16  # vis c64 + uvw share per sample
-    block = auto_block(int(approx_vis) // max(num_devices, 1))
+    total_vis = sum(_tile_chunk_num_vis(path) for path in paths)
+    block = auto_block(total_vis // max(num_devices, 1))
     plans = {}
     samples = {}
     for index in addressable_shard_indices(mesh):

@@ -34,6 +34,9 @@ class _FakeTable:
         return len(next(iter(self.columns.values())))
 
     def getcol(self, name, startrow=0, nrow=-1):
+        if name not in self.columns:
+            # casacore raises RuntimeError for absent/empty columns
+            raise RuntimeError(f"Table column {name} is unknown")
         data = self.columns[name]
         if nrow < 0:
             nrow = len(data) - startrow
@@ -123,6 +126,34 @@ def test_ms_to_vz_roundtrip(fake_ms, tmp_path):
         reader.weights(), main["WEIGHT_SPECTRUM"], rtol=1e-6
     )
     np.testing.assert_array_equal(reader.channel_frequencies(), freqs)
+
+
+def test_ms_to_vz_preserves_row_level_weight(fake_ms, tmp_path, rng):
+    """
+    An MS with only a row-level WEIGHT column must convert to a VZ
+    store with a (nrows, npol) weight column — NOT an nchan-times
+    larger materialized WEIGHT_SPECTRUM (round-2 verdict, weak #7).
+    """
+    from ska_sdp_cip_tpu.io.ms_ingest import ms_to_vz
+    from ska_sdp_cip_tpu.io.visibility_dataset import VisibilityReader
+
+    ms_path, main, _ = fake_ms
+    del main["WEIGHT_SPECTRUM"]
+    nrow = len(main["TIME"])
+    main["WEIGHT"] = rng.uniform(0.5, 2.0, size=(nrow, 4)).astype(
+        np.float32
+    )
+
+    vz_path = ms_to_vz(ms_path, tmp_path / "rowweight.vz", row_block=7)
+    assert (vz_path / "weight.npy").is_file()
+    assert not (vz_path / "weight_spectrum.npy").is_file()
+
+    reader = VisibilityReader(vz_path)
+    nchan = reader.num_channels
+    expected = np.repeat(
+        main["WEIGHT"].reshape(nrow, 1, 4), nchan, axis=1
+    )
+    np.testing.assert_allclose(reader.weights(), expected, rtol=1e-6)
 
 
 def test_missing_casacore_message(tmp_path, monkeypatch):

@@ -106,7 +106,7 @@ def test_slot_predict_group_sum_matches_data_predict(problem):
     acc_re, acc_im = slot_predict(arrays, jnp.asarray(image))
     dup_a, dup_b = slot_duplicate_pairs(plan)
     acc_re, acc_im = slot_group_sum(
-        plan, acc_re, acc_im, jnp.asarray(dup_a), jnp.asarray(dup_b)
+        acc_re, acc_im, jnp.asarray(dup_a), jnp.asarray(dup_b)
     )
     # Manual finalize: undo pre-phase and flip, read off each source
     # sample's value from ONE of its slots (after the group sum every
@@ -206,6 +206,62 @@ def test_operator_psf_and_dirty_match_data_space(problem):
     staged = operator.stage(vis.ravel())
     assert operator.stage(staged) is staged
     assert isinstance(staged, SlotVis)
+
+
+def test_operator_psf_matches_data_space_without_wstacking(problem):
+    """
+    Regression (round-2 advisor, high): with ``do_wstacking=False`` the
+    slot staging skips the w-shift pre-phase, so the plan's phase
+    factors must be identity — ``psf()`` reads them unconditionally and
+    previously picked up a spurious per-slot rotation (~0.8% max rel
+    error, growing with |w|), silently corrupting CLEAN.
+    """
+    _, _, vis, wgt, uvw, freqs = problem
+    operator = MeasurementOperator.build(
+        uvw,
+        freqs,
+        wgt,
+        NUM_PIXELS,
+        PIXEL_SIZE_LM,
+        epsilon=1e-4,
+        do_wstacking=False,
+    )
+    assert not operator.plan.wstacking
+    host = np.asarray(operator.arrays["phase_cos"])
+    assert np.all(host == 1.0)
+    assert np.all(np.asarray(operator.arrays["phase_sin"]) == 0.0)
+
+    num = operator.plan.num_vis_data
+    expected_psf = (
+        np.asarray(
+            operator.adjoint(
+                operator.weights[:num], jnp.zeros(num, jnp.float32)
+            )
+        )
+        / operator.total_weight
+    )
+    got_psf = np.asarray(operator.psf())
+    np.testing.assert_allclose(
+        got_psf, expected_psf, atol=1e-6 * np.abs(expected_psf).max()
+    )
+
+    # dirty image via slot staging must also match data space
+    weighted = vis.ravel() * wgt.ravel()
+    expected_dirty = (
+        np.asarray(
+            operator.adjoint(
+                jnp.asarray(weighted.real.astype(np.float32)),
+                jnp.asarray(weighted.imag.astype(np.float32)),
+            )
+        )
+        / operator.total_weight
+    )
+    got_dirty = np.asarray(operator.dirty_image(vis.ravel()))
+    np.testing.assert_allclose(
+        got_dirty,
+        expected_dirty,
+        atol=1e-6 * np.abs(expected_dirty).max(),
+    )
 
 
 def test_stage_slot_weights_zeroes_padding(problem):
