@@ -27,8 +27,14 @@ def initialize_distributed(
     This replaces the reference's scheduler/worker bring-up
     (reference: slurm/csd3_icelake.sh:33-83).
     """
-    if jax.process_count() > 1:
+    # NOTE: do not probe jax.process_count() here — it initializes the
+    # XLA backend, after which jax.distributed.initialize always fails
+    # (round-3 fix; the old probe + silent except made this a no-op).
+    from jax._src import distributed as _distributed_state
+
+    if _distributed_state.global_state.client is not None:
         return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -36,8 +42,11 @@ def initialize_distributed(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # Single-process environment (no coordinator): run locally.
-        pass
+        if explicit:
+            # An explicit coordinator that fails to join is an error,
+            # not a single-process fallback.
+            raise
+        # Auto-detection found no multi-host environment: run locally.
 
 
 def make_device_mesh(

@@ -404,6 +404,7 @@ def sharded_invert_dataset(
     weighting: str = "natural",
     robust: float = 0.0,
     recorder=None,
+    gridder: str | None = None,
 ) -> np.ndarray:
     """
     Invert a visibility dataset into a normalized Stokes-I dirty image,
@@ -412,6 +413,10 @@ def sharded_invert_dataset(
 
     ``recorder`` is an optional utils.task_metrics.TaskRecorder whose
     steps replace the reference's dask task stream tracing.
+    ``gridder`` selects the kernel backend per shard
+    (ops.gridder.resolve_gridder_mode): None/auto, "pallas", "xla", or
+    "pallas_interpret" (the production Pallas-inside-shard_map
+    composition, executable without TPU hardware).
     """
     from contextlib import nullcontext
 
@@ -433,7 +438,9 @@ def sharded_invert_dataset(
         step=step,
     )
     axis_name = staging.axis_name
-    invert = build_invert(staging.plans[0], slot_input=True)
+    invert = build_invert(
+        staging.plans[0], slot_input=True, gridder=gridder
+    )
 
     def shard_fn(arrays, vre, vim, wgt):
         arrays = {
