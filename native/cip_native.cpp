@@ -293,6 +293,62 @@ void cip_gather_u8(const uint8_t* src, const int64_t* order, int64_t n,
     });
 }
 
+// Imaging-weight density accumulation (models/weighting.py): gridded
+// sum of effective weights at cell round(u * inv_cell) + npix/2 (and
+// the conjugate mirror npix - i), clipped to the grid. Parallel over
+// samples with lock-free double adds — collisions are rare (1e8+
+// samples spread over npix^2 >= 1e8 cells), so CAS retries are noise.
+// Rounding matches numpy: nearbyint == round-half-to-even.
+namespace {
+inline void atomic_add_double(double* addr, double value) {
+    auto* cell = reinterpret_cast<std::atomic<uint64_t>*>(addr);
+    uint64_t observed = cell->load(std::memory_order_relaxed);
+    for (;;) {
+        double current;
+        std::memcpy(&current, &observed, sizeof(double));
+        const double updated = current + value;
+        uint64_t updated_bits;
+        std::memcpy(&updated_bits, &updated, sizeof(double));
+        if (cell->compare_exchange_weak(observed, updated_bits,
+                                        std::memory_order_relaxed))
+            return;
+    }
+}
+}  // namespace
+
+void cip_density_accumulate(const double* uvw, int64_t nrow,
+                            const double* freqs, int64_t nchan,
+                            const double* weights, double inv_cell,
+                            int64_t npix, double* density) {
+    std::vector<double> scale(nchan);
+    for (int64_t c = 0; c < nchan; ++c)
+        scale[c] = freqs[c] / kSpeedOfLight * inv_cell;
+    const int64_t half = npix / 2;
+    const int64_t hi = npix - 1;
+    parallel_for(nrow, [&](int, int64_t begin, int64_t end) {
+        for (int64_t r = begin; r < end; ++r) {
+            const double um = uvw[3 * r];
+            const double vm = uvw[3 * r + 1];
+            for (int64_t c = 0; c < nchan; ++c) {
+                const double w = weights[r * nchan + c];
+                int64_t iu =
+                    (int64_t)std::nearbyint(um * scale[c]) + half;
+                int64_t iv =
+                    (int64_t)std::nearbyint(vm * scale[c]) + half;
+                iu = std::min(std::max(iu, (int64_t)0), hi);
+                iv = std::min(std::max(iv, (int64_t)0), hi);
+                atomic_add_double(&density[iu * npix + iv], w);
+                // Mirror of the CLIPPED cell (matches the numpy path)
+                const int64_t mu =
+                    std::min(std::max(npix - iu, (int64_t)0), hi);
+                const int64_t mv =
+                    std::min(std::max(npix - iv, (int64_t)0), hi);
+                atomic_add_double(&density[mu * npix + mv], w);
+            }
+        }
+    });
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

@@ -48,12 +48,16 @@ class ImagingWeighter:
         self._f2 = 0.0
 
     def _cells(self, uvw: np.ndarray, freqs: np.ndarray) -> tuple:
-        scale = np.asarray(freqs, np.float64) / SPEED_OF_LIGHT
+        # Multiply by 1/cell (not divide by cell) so the native
+        # density pass computes bit-identical cell indices.
+        scale = (
+            np.asarray(freqs, np.float64) / SPEED_OF_LIGHT / self.cell
+        )
         u = np.multiply.outer(uvw[:, 0], scale).ravel()
         v = np.multiply.outer(uvw[:, 1], scale).ravel()
         half = self.num_pixels // 2
-        iu = np.round(u / self.cell).astype(np.int64) + half
-        iv = np.round(v / self.cell).astype(np.int64) + half
+        iu = np.round(u).astype(np.int64) + half
+        iv = np.round(v).astype(np.int64) + half
         iu = np.clip(iu, 0, self.num_pixels - 1)
         iv = np.clip(iv, 0, self.num_pixels - 1)
         return iu, iv
@@ -74,20 +78,41 @@ class ImagingWeighter:
         """
         if density is None:
             density = np.zeros((self.num_pixels, self.num_pixels))
+        from .. import native as _native
+
+        if (
+            _native.available()
+            and density.flags.c_contiguous
+            and len(uvw)
+        ):
+            # Multithreaded C++ pass (lock-free double adds): the
+            # single-threaded per-sample fit was the plan-time
+            # bottleneck at production sample counts.
+            return _native.density_accumulate(
+                uvw,
+                freqs,
+                weights,
+                inv_cell=1.0 / self.cell,
+                npix=self.num_pixels,
+                density=density,
+            )
+        npix = self.num_pixels
         iu, iv = self._cells(uvw, freqs)
         w = np.asarray(weights, np.float64).ravel()
-        np.add.at(density, (iu, iv), w)
         # The mirror of cell round(u/cell) + half is round(-u/cell) +
         # half = num_pixels - iu (for even num_pixels), NOT
-        # num_pixels - 1 - iu, which lands one cell off.
-        np.add.at(
-            density,
-            (
-                np.clip(self.num_pixels - iu, 0, self.num_pixels - 1),
-                np.clip(self.num_pixels - iv, 0, self.num_pixels - 1),
-            ),
-            w,
+        # num_pixels - 1 - iu, which lands one cell off. One bincount
+        # over direct + mirrored flat cells (np.add.at is ~5x slower).
+        flat = np.concatenate(
+            [
+                iu * npix + iv,
+                np.clip(npix - iu, 0, npix - 1) * npix
+                + np.clip(npix - iv, 0, npix - 1),
+            ]
         )
+        density += np.bincount(
+            flat, weights=np.concatenate([w, w]), minlength=npix * npix
+        ).reshape(npix, npix)
         return density
 
     def finalize(self, density: np.ndarray) -> "ImagingWeighter":

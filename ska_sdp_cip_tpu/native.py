@@ -84,6 +84,9 @@ def _declare(lib) -> None:
     lib.cip_phase_cossin.argtypes = [
         fp, ct.c_int64, ct.c_double, fp, fp
     ]
+    lib.cip_density_accumulate.argtypes = [
+        dp, ct.c_int64, dp, ct.c_int64, dp, ct.c_double, ct.c_int64, dp
+    ]
 
 
 def _ptr(arr, ctype):
@@ -280,6 +283,40 @@ def phase_cossin(ws: np.ndarray, factor: float) -> tuple:
         _ptr(sin_out, ctypes.c_float),
     )
     return cos_out, sin_out
+
+
+def density_accumulate(
+    uvw: np.ndarray,
+    freqs: np.ndarray,
+    weights: np.ndarray,
+    *,
+    inv_cell: float,
+    npix: int,
+    density: np.ndarray,
+) -> np.ndarray:
+    """
+    Accumulate gridded weight density (direct + conjugate mirror) into
+    ``density`` (npix, npix) float64 — the multithreaded replacement for
+    the per-sample ``np.add.at`` fit in models/weighting.py.
+    """
+    lib = load_library()
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    freqs = np.ascontiguousarray(freqs, np.float64)
+    weights = np.ascontiguousarray(
+        np.asarray(weights, np.float64).reshape(len(uvw), len(freqs))
+    )
+    assert density.dtype == np.float64 and density.flags.c_contiguous
+    lib.cip_density_accumulate(
+        _ptr(uvw, ctypes.c_double),
+        len(uvw),
+        _ptr(freqs, ctypes.c_double),
+        len(freqs),
+        _ptr(weights, ctypes.c_double),
+        ctypes.c_double(inv_cell),
+        npix,
+        _ptr(density, ctypes.c_double),
+    )
+    return density
 
 
 def argsort_i64(keys: np.ndarray) -> np.ndarray:

@@ -131,3 +131,32 @@ def test_sharded_uniform_matches_local(reader):
     np.testing.assert_allclose(
         sharded, local, atol=1e-5 * np.abs(local).max(), rtol=1e-5
     )
+
+
+def test_native_density_matches_numpy(gridder_input, monkeypatch):
+    """
+    The multithreaded C++ density pass must reproduce the numpy
+    bincount fit (same rounding, same clipped mirror); only the f64
+    summation order differs (atomic adds), hence the tight allclose.
+    """
+    from ska_sdp_cip_tpu import native as _native
+    from ska_sdp_cip_tpu.models import weighting as wmod
+
+    if not _native.available():
+        pytest.skip("native library not built")
+
+    weighter = wmod.ImagingWeighter(128, 2.0e-5, scheme="uniform")
+    args = (
+        gridder_input.uvw,
+        gridder_input.channel_frequencies,
+        gridder_input.effective_weights(),
+    )
+    native_density = weighter.accumulate_density(*args)
+
+    monkeypatch.setattr(_native, "available", lambda: False)
+    numpy_density = weighter.accumulate_density(*args, density=None)
+
+    assert native_density.sum() > 0
+    np.testing.assert_allclose(
+        native_density, numpy_density, rtol=1e-12, atol=0
+    )
