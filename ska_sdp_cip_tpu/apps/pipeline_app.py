@@ -95,8 +95,8 @@ def get_parser() -> argparse.ArgumentParser:
         "--algorithm",
         choices=["hogbom", "multiscale", "fista"],
         default="hogbom",
-        help="Deconvolution algorithm for --clean (single-device runs; "
-        "distributed -d runs use hogbom)",
+        help="Deconvolution algorithm for --clean (single-device and "
+        "distributed -d runs)",
     )
     clean_group.add_argument(
         "--scales",
@@ -240,6 +240,8 @@ def run_program(cli_args: list[str]) -> None:
                 num_major=args.clean,
                 gain=args.gain,
                 minor_iter=args.minor_iter,
+                algorithm=args.algorithm,
+                scales=tuple(args.scales),
             )
         else:
             from ..invert import (

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..io.visibility_dataset import VisibilityReader
-from ..models.clean import hogbom_clean
+from ..models.clean import hogbom_clean, pick_psf_patch
 from ..ops.gridder import build_invert, build_predict
 from .sharded_invert import (
     _is_replicated,
@@ -43,13 +43,24 @@ def sharded_major_cycle_clean(
     gain: float = 0.1,
     minor_iter: int = 100,
     recorder=None,
+    algorithm: str = "hogbom",
+    scales=(0.0, 2.0, 4.0, 8.0),
+    bias_slope: float = 0.6,
+    lam_factor: float = 1e-3,
+    psf_patch: int | str | None = "auto",
 ) -> tuple:
     """
-    CLEAN a dataset over a device mesh. Returns
+    Deconvolve a dataset over a device mesh. Returns
     ``(model, residual_image, psf)`` as numpy arrays; numerically
-    matches the single-device ``models.major_cycle_clean`` to gridder
-    accuracy. The PSF comes from the already-staged sharded program so
-    callers never build a separate single-device operator for it.
+    matches the single-device solvers to gridder accuracy. The PSF
+    comes from the already-staged sharded program so callers never
+    build a separate single-device operator for it.
+
+    ``algorithm`` selects the minor step: "hogbom" (Clark-accelerated
+    above 4096 px, see models.clean.pick_psf_patch), "multiscale"
+    (models.multiscale's minor cycle on the psum-reduced residual), or
+    "fista" (accelerated proximal gradient; ``num_major * minor_iter
+    // 10`` iterations, matching the single-device CLI convention).
     """
     from contextlib import nullcontext
 
@@ -114,6 +125,46 @@ def sharded_major_cycle_clean(
             / total_weight
         )
 
+    if algorithm not in ("hogbom", "multiscale", "fista"):
+        raise ValueError(f"Unknown deconvolution algorithm {algorithm!r}")
+    if psf_patch == "auto":
+        psf_patch = pick_psf_patch(num_pixels)
+    if algorithm == "multiscale":
+        from ..models.multiscale import _multiscale_minor, scale_kernel
+
+        max_scale = max(max(scales), 1.0)
+        radius = int(np.ceil(2.0 * max_scale)) + 1
+        ms_kernels = jnp.asarray(
+            np.stack([scale_kernel(s, radius) for s in scales])
+        )
+        ms_biases = jnp.asarray(
+            np.array(
+                [1.0 - bias_slope * s / max_scale for s in scales],
+                np.float32,
+            )
+        )
+
+    def minor_step(residual, psf):
+        if algorithm == "multiscale":
+            delta, _ = _multiscale_minor(
+                residual,
+                psf,
+                ms_kernels,
+                ms_biases,
+                gain=gain,
+                max_iter=minor_iter,
+                num_scales=len(scales),
+            )
+        else:
+            delta, _ = hogbom_clean(
+                residual,
+                psf,
+                gain=gain,
+                max_iter=minor_iter,
+                psf_patch=psf_patch,
+            )
+        return delta
+
     def cycle_fn(
         arrays, vre, vim, wgt, dup_a, dup_b, model, psf, residual
     ):
@@ -123,10 +174,7 @@ def sharded_major_cycle_clean(
         # recomputed — matching the single-device solver's return
         # semantics (models/clean.py) at half the gridding cost.
         arrays = unstack(arrays)
-        delta, _ = hogbom_clean(
-            residual, psf, gain=gain, max_iter=minor_iter
-        )
-        model = model + delta
+        model = model + minor_step(residual, psf)
         return model, residual_of(
             arrays, vre[0], vim[0], wgt[0], dup_a[0], dup_b[0], model
         )
@@ -184,6 +232,19 @@ def sharded_major_cycle_clean(
             staging.weights,
         )
 
+    if algorithm == "fista":
+        return _sharded_fista(
+            staging,
+            residual_of,
+            unstack,
+            psf,
+            residual,
+            num_pixels=num_pixels,
+            num_iter=max(1, num_major * minor_iter // 10),
+            lam_factor=lam_factor,
+            step=step,
+        )
+
     model = jnp.zeros((num_pixels, num_pixels), jnp.float32)
     for _ in range(num_major):
         with step("major_cycle"):
@@ -199,3 +260,101 @@ def sharded_major_cycle_clean(
                 residual,
             )
     return np.asarray(model), np.asarray(residual), np.asarray(psf)
+
+
+def _sharded_fista(
+    staging,
+    residual_of,
+    unstack,
+    psf,
+    dirty,
+    *,
+    num_pixels: int,
+    num_iter: int,
+    lam_factor: float,
+    step,
+):
+    """
+    Distributed FISTA (models/fista.py over the SPMD residual
+    machinery): each iteration is ONE shard_map step — predict the
+    acceleration point, psum-reduce the gradient, proximal update on
+    the replicated image. The Lipschitz step size comes from a power
+    iteration through the same sharded normal operator.
+    """
+    axis_name = staging.axis_name
+    mesh = staging.mesh
+
+    def grad_fn(arrays, vre, vim, wgt, dup_a, dup_b, image):
+        arrays = unstack(arrays)
+        # residual_of returns G* w (v - G y) / sum(w) = -gradient
+        return -residual_of(
+            arrays, vre[0], vim[0], wgt[0], dup_a[0], dup_b[0], image
+        )
+
+    grad_spmd = jax.jit(
+        jax.shard_map(
+            grad_fn,
+            mesh=mesh,
+            in_specs=(
+                staging.in_specs(),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(),
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+    def gradient(image):
+        return grad_spmd(
+            staging.stacked,
+            staging.vis_re,
+            staging.vis_im,
+            staging.weights,
+            staging.dup_a,
+            staging.dup_b,
+            image,
+        )
+
+    with step("fista_step_size"):
+        # Power iteration on the normal operator: gradient at v=0 is
+        # +G* w G y / sum(w); reuse gradient() with the zero-data trick
+        # grad(y) - grad(0) == normal(y) (gradient is affine in y).
+        zero = jnp.zeros((num_pixels, num_pixels), jnp.float32)
+        grad_at_zero = gradient(zero)
+        x = jnp.ones((num_pixels, num_pixels), jnp.float32)
+        eigenvalue = 1.0
+        for _ in range(8):
+            y = gradient(x) - grad_at_zero
+            eigenvalue = float(jnp.sqrt(jnp.sum(y * y)))
+            x = y / eigenvalue
+        step_size = 1.0 / max(eigenvalue, 1e-6)
+
+    lam = lam_factor * float(jnp.max(jnp.abs(dirty)))
+    threshold = lam * step_size
+
+    @jax.jit
+    def prox_update(x, z_raw, t):
+        z = jnp.sign(z_raw) * jnp.maximum(
+            jnp.abs(z_raw) - threshold, 0.0
+        )
+        z = jnp.maximum(z, 0.0)
+        t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_next = z + ((t - 1.0) / t_next) * (z - x)
+        return z, y_next, t_next
+
+    x = jnp.zeros((num_pixels, num_pixels), jnp.float32)
+    y = x
+    t = jnp.float32(1.0)
+    for _ in range(num_iter):
+        with step("fista_iter"):
+            z_raw = y - step_size * gradient(y)
+            x, y, t = prox_update(x, z_raw, t)
+
+    with step("fista_residual"):
+        residual = -gradient(x)
+    return np.asarray(x), np.asarray(residual), np.asarray(psf)

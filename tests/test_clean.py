@@ -68,6 +68,74 @@ def test_hogbom_reduces_residual(operator_and_vis):
     assert np.asarray(model).max() > 0
 
 
+def test_clark_minor_matches_exact_for_compact_psf():
+    """
+    When the PSF is fully contained in the truncation patch, the
+    Clark-style fast path (truncated subtraction + incremental block
+    maxima) makes EXACTLY the same peak choices and subtractions as
+    exact Hogbom — same model, same residual.
+    """
+    import jax.numpy as jnp
+
+    npix = 128
+    rng = np.random.default_rng(21)
+    # Compact PSF: gaussian confined to the central 32x32 cells
+    psf = np.zeros((npix, npix), np.float32)
+    axis = np.arange(-15, 16)
+    rr2 = np.add.outer(axis**2, axis**2)
+    psf[
+        npix // 2 - 15 : npix // 2 + 16,
+        npix // 2 - 15 : npix // 2 + 16,
+    ] = np.exp(-0.5 * rr2 / 9.0)
+    # Dirty image: a few sources convolved with the psf + noise
+    dirty = 0.01 * rng.normal(size=(npix, npix)).astype(np.float32)
+    for (i, j), flux in (((30, 100), 2.0), ((90, 40), 1.1), ((64, 64), 0.7)):
+        dirty[
+            max(i - 15, 0) : i + 16, max(j - 15, 0) : j + 16
+        ] += flux * psf[
+            npix // 2 - 15 : npix // 2 + 16,
+            npix // 2 - 15 : npix // 2 + 16,
+        ][: dirty[max(i - 15, 0) : i + 16].shape[0]]
+
+    exact_model, exact_res = hogbom_clean(
+        jnp.asarray(dirty), jnp.asarray(psf), gain=0.2, max_iter=40
+    )
+    fast_model, fast_res = hogbom_clean(
+        jnp.asarray(dirty),
+        jnp.asarray(psf),
+        gain=0.2,
+        max_iter=40,
+        psf_patch=64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_model), np.asarray(exact_model), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_res), np.asarray(exact_res), atol=1e-6
+    )
+
+
+def test_clark_minor_reduces_residual_with_real_psf(operator_and_vis):
+    """With a full (sidelobed) PSF the truncated path still cleans."""
+    operator, vis = operator_and_vis
+    dirty = operator.dirty_image(vis)
+    psf = operator.psf()
+    model, residual = hogbom_clean(
+        dirty, psf, gain=0.2, max_iter=50, psf_patch=32
+    )
+    assert np.abs(np.asarray(residual)).max() < np.abs(
+        np.asarray(dirty)
+    ).max()
+    assert np.asarray(model).max() > 0
+
+
+def test_pick_psf_patch_thresholds():
+    from ska_sdp_cip_tpu.models.clean import pick_psf_patch
+
+    assert pick_psf_patch(2048) is None
+    assert pick_psf_patch(10240) == 2048
+
+
 def test_major_cycle_recovers_sources(operator_and_vis):
     """
     CLEAN model flux concentrates near the synthetic sources and the

@@ -98,3 +98,95 @@ def test_sharded_clean_deep_aggregate(dataset_path):
     assert np.abs(residual_s).max() < 1.2 * np.abs(
         np.asarray(residual_l)
     ).max() + 1e-6
+
+
+def _local_operator(reader):
+    gridder_input = StokesIGridderInput.from_reader(reader)
+    operator = MeasurementOperator.build(
+        gridder_input.uvw,
+        gridder_input.channel_frequencies,
+        gridder_input.effective_weights(),
+        NUM_PIXELS,
+        pixel_size_lm_from_asec(PIXEL_SIZE_ASEC),
+        epsilon=1e-4,
+    )
+    return operator, gridder_input.visibilities.ravel()
+
+
+def test_sharded_multiscale_matches_local(dataset_path):
+    """-d --algorithm multiscale runs multiscale (round-2 verdict #4:
+    it previously silently degraded to hogbom)."""
+    from ska_sdp_cip_tpu.models.multiscale import multiscale_clean
+
+    reader = VisibilityReader(dataset_path)
+    kwargs = dict(num_major=2, gain=0.3, minor_iter=6)
+    scales = (0.0, 2.0, 4.0)
+
+    model_s, residual_s, _psf = sharded_major_cycle_clean(
+        reader,
+        NUM_PIXELS,
+        PIXEL_SIZE_ASEC,
+        mesh=make_device_mesh(8),
+        row_chunks=2,
+        freq_chunks=4,
+        epsilon=1e-4,
+        algorithm="multiscale",
+        scales=scales,
+        **kwargs,
+    )
+    operator, vis = _local_operator(reader)
+    model_l, residual_l = multiscale_clean(
+        operator, vis, scales=scales, **kwargs
+    )
+    scale = np.abs(np.asarray(residual_l)).max()
+    np.testing.assert_allclose(
+        model_s, np.asarray(model_l), atol=2e-3 * scale
+    )
+    np.testing.assert_allclose(
+        residual_s, np.asarray(residual_l), atol=5e-3 * scale
+    )
+
+
+def test_sharded_fista_matches_local(dataset_path):
+    from ska_sdp_cip_tpu.models.fista import fista_clean
+
+    reader = VisibilityReader(dataset_path)
+    num_iter = 8
+
+    model_s, residual_s, _psf = sharded_major_cycle_clean(
+        reader,
+        NUM_PIXELS,
+        PIXEL_SIZE_ASEC,
+        mesh=make_device_mesh(8),
+        row_chunks=2,
+        freq_chunks=4,
+        epsilon=1e-4,
+        algorithm="fista",
+        num_major=1,
+        minor_iter=num_iter * 10,
+    )
+    operator, vis = _local_operator(reader)
+    model_l, residual_l, _trace = fista_clean(
+        operator, vis, num_iter=num_iter
+    )
+    scale = max(np.abs(model_l).max(), 1e-9)
+    np.testing.assert_allclose(model_s, model_l, atol=1e-3 * scale)
+    np.testing.assert_allclose(
+        residual_s,
+        residual_l,
+        atol=1e-3 * np.abs(residual_l).max(),
+    )
+
+
+def test_sharded_unknown_algorithm_raises(dataset_path):
+    import pytest
+
+    reader = VisibilityReader(dataset_path)
+    with pytest.raises(ValueError, match="algorithm"):
+        sharded_major_cycle_clean(
+            reader,
+            NUM_PIXELS,
+            PIXEL_SIZE_ASEC,
+            mesh=make_device_mesh(8),
+            algorithm="nope",
+        )
