@@ -68,9 +68,18 @@ def main() -> None:
     # Warm the relay before timing
     _ = float(np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))))
 
+    # sigma="auto" resolves to 1.5 here: the production config is
+    # FFT-dominated (258k vis on a 20480^2 padded grid at sigma=2),
+    # and the 1.5 grid is 44% smaller per w-plane. Override with
+    # CIP_SIGMA to compare (e.g. CIP_SIGMA=2.0 for round-2 numbers).
+    import os
+
+    sigma_env = os.environ.get("CIP_SIGMA", "auto")
+    sigma = sigma_env if sigma_env == "auto" else float(sigma_env)
     t0 = time.time()
     plan = make_plan(
-        uvw, freqs, NUM_PIXELS, pixel_size_lm, epsilon=EPSILON
+        uvw, freqs, NUM_PIXELS, pixel_size_lm, epsilon=EPSILON,
+        sigma=sigma,
     )
     plan_seconds = time.time() - t0
     t0 = time.time()
@@ -141,6 +150,8 @@ def main() -> None:
             {
                 "config": "CSD3 production (10240 px @ 1.1 asec)",
                 "device": str(jax.devices()[0]),
+                "sigma": plan.sigma,
+                "support": plan.support,
                 "num_vis": plan.num_vis_data,
                 "ngrid": plan.ngrid,
                 "nalloc": [plan.nalloc_x, plan.nalloc_y],

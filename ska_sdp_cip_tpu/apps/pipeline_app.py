@@ -70,6 +70,15 @@ def get_parser() -> argparse.ArgumentParser:
         help="Disable w-stacking (narrow-field imaging)",
     )
     imaging_group.add_argument(
+        "--sigma",
+        type=str,
+        default="auto",
+        help='uv-grid oversampling factor (e.g. 2.0, 1.5), or "auto": '
+        "cost-model choice — FFT-dominated wide fields get 1.5 (44%% "
+        "smaller padded grid per w-plane), visibility-dominated runs "
+        "keep 2.0",
+    )
+    imaging_group.add_argument(
         "--weighting",
         choices=["natural", "uniform", "robust"],
         default="natural",
@@ -161,6 +170,7 @@ def run_program(cli_args: list[str]) -> None:
     """Run the app; the function called by the tests."""
     args = get_parser().parse_args(cli_args)
     reader = VisibilityReader(args.dataset)
+    sigma = args.sigma if args.sigma == "auto" else float(args.sigma)
 
     profile_ctx = None
     if args.profile_dir is not None:
@@ -179,6 +189,7 @@ def run_program(cli_args: list[str]) -> None:
                 do_wstacking=not args.no_wstacking,
                 weighting=args.weighting,
                 robust=args.robust,
+                sigma=sigma,
             )
         else:
             from ..parallel.mesh import make_device_mesh
@@ -201,6 +212,7 @@ def run_program(cli_args: list[str]) -> None:
                 weighting=args.weighting,
                 robust=args.robust,
                 recorder=recorder,
+                sigma=sigma,
             )
             # Same file name / schema as the reference
             # (reference: apps/pipeline_app.py:105-107).
@@ -242,6 +254,7 @@ def run_program(cli_args: list[str]) -> None:
                 minor_iter=args.minor_iter,
                 algorithm=args.algorithm,
                 scales=tuple(args.scales),
+                sigma=sigma,
             )
         else:
             from ..invert import (
@@ -283,6 +296,7 @@ def run_program(cli_args: list[str]) -> None:
                 pixel_size_lm_from_asec(args.pixel_size),
                 epsilon=args.epsilon,
                 do_wstacking=not args.no_wstacking,
+                sigma=sigma,
             )
             if args.algorithm == "multiscale":
                 from ..models.multiscale import multiscale_clean

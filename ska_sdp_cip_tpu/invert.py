@@ -100,6 +100,7 @@ def grid_invert(
     *,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
+    sigma: float | str = 2.0,
 ) -> tuple[NDArray, float]:
     """
     Invert gridder input, returning ``(unnormalized image, total
@@ -116,6 +117,7 @@ def grid_invert(
         pixel_size_lm_from_asec(pixel_size_asec),
         epsilon=epsilon,
         do_wstacking=do_wstacking,
+        sigma=sigma,
     )
     return image, float(effective_weights.sum())
 
@@ -129,6 +131,7 @@ def invert_dataset(
     do_wstacking: bool = True,
     weighting: str = "natural",
     robust: float = 0.0,
+    sigma: float | str = 2.0,
 ) -> NDArray:
     """
     Single-device invert of a visibility dataset to a normalized dirty
@@ -170,6 +173,7 @@ def invert_dataset(
         pixel_size_asec,
         epsilon=epsilon,
         do_wstacking=do_wstacking,
+        sigma=sigma,
     )
     return (1.0 / total_weight) * image
 

@@ -93,6 +93,7 @@ class MeasurementOperator:
         *,
         epsilon: float = 1e-4,
         do_wstacking: bool = True,
+        sigma: float | str = 2.0,
     ) -> "MeasurementOperator":
         """Plan and stage a measurement operator for the given geometry."""
         plan = make_plan(
@@ -102,6 +103,7 @@ class MeasurementOperator:
             pixel_size_lm,
             epsilon=epsilon,
             do_wstacking=do_wstacking,
+            sigma=sigma,
         )
         weights_flat = np.zeros(plan.num_vis, np.float32)
         raveled = np.asarray(weights, np.float32).ravel()

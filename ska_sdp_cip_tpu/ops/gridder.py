@@ -966,6 +966,7 @@ def dirty_image(
     *,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
+    sigma: float | str = 2.0,
 ) -> np.ndarray:
     """
     Unnormalized dirty image of weighted visibilities — the drop-in
@@ -980,6 +981,7 @@ def dirty_image(
         pixel_size_lm,
         epsilon=epsilon,
         do_wstacking=do_wstacking,
+        sigma=sigma,
     )
     arrays = plan_device_arrays(plan)
     invert = build_invert(plan, slot_input=True)
@@ -1002,6 +1004,7 @@ def predict_visibilities(
     *,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
+    sigma: float | str = 2.0,
 ) -> np.ndarray:
     """
     Model visibilities from an image (``dirty2ms`` analog, the adjoint
@@ -1016,6 +1019,7 @@ def predict_visibilities(
         pixel_size_lm,
         epsilon=epsilon,
         do_wstacking=do_wstacking,
+        sigma=sigma,
     )
     arrays = plan_device_arrays(plan)
     predict = build_predict(plan)

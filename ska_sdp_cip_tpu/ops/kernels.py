@@ -35,14 +35,24 @@ except ImportError:  # pragma: no cover - jax is a hard dep in practice
 def kernel_support_for_epsilon(epsilon: float, sigma: float = 2.0) -> int:
     """
     Choose the kernel support (cells per axis) for a target gridding
-    accuracy ``epsilon``. At sigma=2 the ES kernel's aliasing error
-    decays roughly one decade per support cell; one guard cell is added
-    so the reference's epsilon=1e-4 setting lands at W=6.
+    accuracy ``epsilon`` at oversampling ``sigma``. The ES kernel's
+    aliasing error decays ~exp(-pi W sqrt(1 - 1/sigma)) per the
+    FINUFFT/ducc0 analysis; normalized so sigma=2 keeps the historical
+    one-decade-per-cell rule (reference epsilon=1e-4 -> W=6). Below
+    sigma=1.6 one extra guard cell compensates the float32 noise
+    amplified by the deeper taper-edge division (measured against the
+    DFT oracle: sigma=1.5 needs W=8 for 1e-4, where the asymptotic
+    rule alone gives 7).
     """
     if not 0 < epsilon < 1:
         raise ValueError("epsilon must be in (0, 1)")
+    if sigma <= 1.05:
+        raise ValueError("sigma must exceed 1.05")
     digits = -np.log10(epsilon)
-    support = int(np.ceil(digits)) + 2
+    rate = np.sqrt(2.0 * (1.0 - 1.0 / sigma))  # decades/cell vs sigma=2
+    support = int(np.ceil(digits / rate)) + 2
+    if sigma < 1.6:
+        support += 1
     return int(np.clip(support, 4, 16))
 
 

@@ -578,6 +578,84 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
     return padded
 
 
+#: Measured per-unit costs on one v5e chip feeding the sigma cost
+#: model: gridding ~3e-9 s per (visibility x active plane) at W~6-8
+#: (bench: 5.8M vis, 9 planes, 0.122 s invert, gridder-dominant);
+#: per-plane grid passes ~3e-10 s per cell (production: 20480^2,
+#: 9 planes, 1.54 s, FFT-dominant). Only their RATIO matters for the
+#: choice, so modest hardware drift does not flip it.
+SIGMA_COST_GRID_PER_VIS_PLANE = 3e-9
+SIGMA_COST_FFT_PER_CELL_PLANE = 3e-10
+
+#: Oversampling candidates for sigma="auto": 2.0 (smallest support,
+#: best for visibility-dominated work) and 1.5 (44% smaller padded
+#: grid area per plane, best for FFT-dominated wide fields). Lower
+#: sigma is excluded: float32 noise amplified by the taper-edge
+#: division exceeds the epsilon=1e-4 contract below ~1.4 (measured
+#: against the DFT oracle; see kernel_support_for_epsilon).
+SIGMA_CANDIDATES = (2.0, 1.5)
+
+
+def w_range(uvw: np.ndarray, channel_frequencies: np.ndarray) -> tuple:
+    """
+    (min, max) of ``|w|`` in wavelengths over all (row, chan) samples —
+    the w extent after the w >= 0 conjugation flip. Used to resolve
+    ``sigma="auto"`` without building a plan.
+    """
+    from .. import native as _native
+
+    uvw = np.asarray(uvw, np.float64)
+    freqs = np.asarray(channel_frequencies, np.float64)
+    if len(uvw) == 0 or len(freqs) == 0:
+        return 0.0, 0.0
+    if _native.available():
+        return _native.w_minmax(uvw, freqs)
+    w = np.abs(np.multiply.outer(uvw[:, 2], freqs / SPEED_OF_LIGHT))
+    return float(w.min()), float(w.max())
+
+
+def nm1_min_of(num_pixels: int, pixel_size_lm: float) -> float:
+    """
+    Most negative ``n(l,m) - 1`` over the image (at the corner): the
+    w-direction "bandwidth" that sets plane spacing and the w-shift.
+    """
+    half_fov = (num_pixels / 2) * pixel_size_lm
+    corner_r2 = min(2.0 * half_fov * half_fov, 0.999)
+    return -corner_r2 / (1.0 + np.sqrt(1.0 - corner_r2))
+
+
+def resolve_sigma(
+    num_vis: int,
+    num_pixels: int,
+    *,
+    w_extent: float,
+    nm1_min: float,
+    epsilon: float = 1e-4,
+    do_wstacking: bool = True,
+) -> float:
+    """
+    Pick the oversampling factor minimizing the modeled invert cost
+    ``num_vis * W(sigma) * c_grid + nplanes(sigma) * ngrid(sigma)^2 *
+    c_fft`` over :data:`SIGMA_CANDIDATES`. ``w_extent`` is
+    ``wmax - wmin`` in wavelengths (after the w >= 0 flip).
+    """
+
+    def cost(sigma: float) -> float:
+        support = kernel_support_for_epsilon(epsilon, sigma)
+        ngrid = next_even_grid_size(int(np.ceil(sigma * num_pixels)))
+        if do_wstacking and abs(nm1_min) > 0:
+            dw = 1.0 / (sigma * abs(nm1_min))
+            nplanes = int(np.floor(w_extent / dw)) + support
+        else:
+            nplanes = 1
+        return (
+            num_vis * support * SIGMA_COST_GRID_PER_VIS_PLANE
+            + nplanes * ngrid * ngrid * SIGMA_COST_FFT_PER_CELL_PLANE
+        )
+
+    return min(SIGMA_CANDIDATES, key=cost)
+
+
 def make_plan(
     uvw: np.ndarray,
     channel_frequencies: np.ndarray,
@@ -586,7 +664,7 @@ def make_plan(
     *,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
-    sigma: float = 2.0,
+    sigma: float | str = 2.0,
     block: int | None = None,
     min_blocks: int = 1,
     min_active: int = 1,
@@ -595,6 +673,13 @@ def make_plan(
     """
     Build a :class:`GridderPlan` for visibilities ``uvw`` (nrow, 3) in
     meters at ``channel_frequencies`` (nchan,) Hz.
+
+    ``sigma`` is the uv-grid oversampling factor; ``"auto"`` picks it
+    from a grid-vs-gridding cost model (:func:`resolve_sigma`) — FFT-
+    dominated wide-field configs get 1.5 (44% smaller padded grid area
+    per plane), visibility-dominated ones keep 2.0 (smallest kernel
+    support). Sharded callers must resolve a single value up front so
+    every shard plans the same grid.
 
     ``min_blocks`` / ``min_active`` / ``min_planes`` pad the static
     shapes up to common bounds — used by the sharded invert so every
@@ -609,11 +694,6 @@ def make_plan(
     use_native = _native.available() and num_vis > 0
     if block is None:
         block = auto_block(num_vis)
-
-    support = kernel_support_for_epsilon(epsilon, sigma)
-    beta = es_beta(support, sigma)
-    ngrid = next_even_grid_size(int(np.ceil(sigma * num_pixels)))
-    du = 1.0 / (ngrid * pixel_size_lm)
 
     patch_x, patch_y = DEFAULT_PATCH_X, DEFAULT_PATCH_Y
 
@@ -638,12 +718,26 @@ def make_plan(
         wmax = float(w.max()) if num_vis else 0.0
 
     # --- w-plane setup -------------------------------------------------
-    half_fov = (num_pixels / 2) * pixel_size_lm
-    corner_r2 = min(2.0 * half_fov * half_fov, 0.999)
-    nm1_min = -corner_r2 / (1.0 + np.sqrt(1.0 - corner_r2))
+    nm1_min = nm1_min_of(num_pixels, pixel_size_lm)
     n_mid = nm1_min / 2.0  # centre the nm1 band ("w-shift")
 
     wstacking = bool(do_wstacking) and abs(nm1_min) > 0
+
+    if sigma == "auto":
+        sigma = resolve_sigma(
+            num_vis,
+            num_pixels,
+            w_extent=wmax - wmin,
+            nm1_min=nm1_min,
+            epsilon=epsilon,
+            do_wstacking=wstacking,
+        )
+    sigma = float(sigma)
+
+    support = kernel_support_for_epsilon(epsilon, sigma)
+    beta = es_beta(support, sigma)
+    ngrid = next_even_grid_size(int(np.ceil(sigma * num_pixels)))
+    du = 1.0 / (ngrid * pixel_size_lm)
 
     if wstacking:
         # Plane spacing: sampling along w at spacing dw must keep

@@ -48,6 +48,7 @@ def sharded_major_cycle_clean(
     bias_slope: float = 0.6,
     lam_factor: float = 1e-3,
     psf_patch: int | str | None = "auto",
+    sigma: float | str = 2.0,
 ) -> tuple:
     """
     Deconvolve a dataset over a device mesh. Returns
@@ -80,6 +81,7 @@ def sharded_major_cycle_clean(
         weighting=weighting,
         robust=robust,
         step=step,
+        sigma=sigma,
     )
     axis_name = staging.axis_name
     plan0 = staging.plans[0]

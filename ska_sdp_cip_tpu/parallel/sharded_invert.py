@@ -158,11 +158,16 @@ def stage_sharded_inputs(
     weighting: str = "natural",
     robust: float = 0.0,
     step=None,
+    sigma: float | str = 2.0,
 ) -> ShardedStaging:
     """
     Partition, load, plan, and stage a dataset onto a device mesh:
     the shared front half of every sharded operation (invert, major
     cycle). Returns a :class:`ShardedStaging`.
+
+    ``sigma="auto"`` resolves ONE oversampling factor for the whole
+    mesh (global visibility count + allgathered w range), since every
+    shard must plan the identical grid.
     """
     from contextlib import nullcontext
 
@@ -232,6 +237,38 @@ def stage_sharded_inputs(
             * reader.num_channels
             // max(num_devices, 1)
         )
+        if sigma == "auto":
+            # One global sigma: global vis count + allgathered w range
+            # (each process sees only its shards' w extent).
+            from ..ops.plan import nm1_min_of, resolve_sigma, w_range
+
+            local_whi = 0.0
+            for shard in shards.values():
+                _, whi = w_range(
+                    shard.uvw, shard.channel_frequencies
+                )
+                local_whi = max(local_whi, whi)
+            global_whi = float(
+                _allgather_max(np.asarray([local_whi]))[0]
+            )
+            local_wlo = min(
+                (
+                    w_range(s.uvw, s.channel_frequencies)[0]
+                    for s in shards.values()
+                ),
+                default=global_whi,
+            )
+            global_wlo = -float(
+                _allgather_max(np.asarray([-local_wlo]))[0]
+            )
+            sigma = resolve_sigma(
+                reader.num_data_rows * reader.num_channels,
+                num_pixels,
+                w_extent=global_whi - global_wlo,
+                nm1_min=nm1_min_of(num_pixels, pixel_size_lm),
+                epsilon=epsilon,
+                do_wstacking=do_wstacking,
+            )
         local_plans = {
             index: make_plan(
                 shard.uvw,
@@ -241,6 +278,7 @@ def stage_sharded_inputs(
                 epsilon=epsilon,
                 do_wstacking=do_wstacking,
                 block=block,
+                sigma=sigma,
             )
             for index, shard in shards.items()
         }
@@ -405,6 +443,7 @@ def sharded_invert_dataset(
     robust: float = 0.0,
     recorder=None,
     gridder: str | None = None,
+    sigma: float | str = 2.0,
 ) -> np.ndarray:
     """
     Invert a visibility dataset into a normalized Stokes-I dirty image,
@@ -436,6 +475,7 @@ def sharded_invert_dataset(
         weighting=weighting,
         robust=robust,
         step=step,
+        sigma=sigma,
     )
     axis_name = staging.axis_name
     invert = build_invert(

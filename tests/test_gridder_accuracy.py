@@ -58,6 +58,52 @@ def test_invert_matches_dft(small_vis, apply_w):
     assert error < 1e-4
 
 
+@pytest.mark.parametrize("sigma", [1.5, "auto"])
+def test_invert_matches_dft_at_reduced_oversampling(small_vis, sigma):
+    """
+    The epsilon=1e-4 contract must hold at sigma=1.5 (the FFT-
+    dominated production choice: 44% smaller padded grid per w-plane,
+    support 8 instead of 6) and under the auto cost-model choice.
+    """
+    uvw, freqs, vis, wgt = small_vis
+    reference = dirty_image_dft(
+        uvw, freqs, vis, wgt, NPIX, PIXEL_SIZE_LM, apply_w=True
+    )
+    ours = dirty_image(
+        uvw,
+        freqs,
+        vis,
+        wgt,
+        NPIX,
+        PIXEL_SIZE_LM,
+        epsilon=1e-4,
+        do_wstacking=True,
+        sigma=sigma,
+    )
+    error = np.max(np.abs(ours - reference)) / np.max(np.abs(reference))
+    assert error < 1e-4
+
+
+def test_resolve_sigma_regimes():
+    """FFT-dominated -> 1.5; visibility-dominated -> 2.0."""
+    from ska_sdp_cip_tpu.ops.plan import nm1_min_of, resolve_sigma
+
+    nm1 = nm1_min_of(10240, float(np.sin(np.radians(1.1 / 3600))))
+    # Production config: 258k vis on a 10240-px wide field
+    assert (
+        resolve_sigma(258_000, 10240, w_extent=5000.0, nm1_min=nm1)
+        == 1.5
+    )
+    # Bench config: 5.8M vis on a 2048-px image
+    nm1_small = nm1_min_of(2048, float(np.sin(np.radians(5.0 / 3600))))
+    assert (
+        resolve_sigma(
+            5_800_000, 2048, w_extent=5000.0, nm1_min=nm1_small
+        )
+        == 2.0
+    )
+
+
 def test_accuracy_improves_with_epsilon(small_vis):
     uvw, freqs, vis, wgt = small_vis
     reference = dirty_image_dft(
