@@ -255,6 +255,7 @@ def run_program(cli_args: list[str]) -> None:
                 algorithm=args.algorithm,
                 scales=tuple(args.scales),
                 sigma=sigma,
+                checkpoint_dir=args.checkpoint_dir,
             )
         else:
             from ..invert import (

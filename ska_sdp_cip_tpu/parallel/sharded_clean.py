@@ -49,6 +49,7 @@ def sharded_major_cycle_clean(
     lam_factor: float = 1e-3,
     psf_patch: int | str | None = "auto",
     sigma: float | str = 2.0,
+    checkpoint_dir=None,
 ) -> tuple:
     """
     Deconvolve a dataset over a device mesh. Returns
@@ -247,20 +248,62 @@ def sharded_major_cycle_clean(
             step=step,
         )
 
+    # Checkpoint/resume: replicated (model, residual) persisted after
+    # every cycle, SIGTERM flushes the last completed state
+    # (models/checkpoint.py). Only process 0 writes; every process
+    # loads the same file from the shared filesystem on resume.
+    from ..models.checkpoint import (
+        MajorCycleCheckpoint,
+        graceful_shutdown,
+    )
+
+    checkpoint = None
+    start_cycle = 0
     model = jnp.zeros((num_pixels, num_pixels), jnp.float32)
-    for _ in range(num_major):
-        with step("major_cycle"):
-            model, residual = cycle_spmd(
-                staging.stacked,
-                staging.vis_re,
-                staging.vis_im,
-                staging.weights,
-                staging.dup_a,
-                staging.dup_b,
-                model,
-                psf,
-                residual,
+    if checkpoint_dir is not None:
+        checkpoint = MajorCycleCheckpoint(
+            checkpoint_dir,
+            {
+                "num_pixels": num_pixels,
+                "num_major": num_major,
+                "gain": gain,
+                "minor_iter": minor_iter,
+                "algorithm": algorithm,
+                "distributed": True,
+            },
+        )
+        restored = checkpoint.load()
+        if restored is not None:
+            start_cycle, model_np, residual_np = restored
+            model = jnp.asarray(model_np)
+            residual = jnp.asarray(residual_np)
+
+    state = {"cycle": start_cycle, "model": model, "res": residual}
+
+    def flush():
+        if checkpoint is not None and jax.process_index() == 0:
+            checkpoint.save(
+                state["cycle"], state["model"], state["res"]
             )
+
+    with graceful_shutdown(flush):
+        for cycle in range(start_cycle, num_major):
+            with step("major_cycle"):
+                model, residual = cycle_spmd(
+                    staging.stacked,
+                    staging.vis_re,
+                    staging.vis_im,
+                    staging.weights,
+                    staging.dup_a,
+                    staging.dup_b,
+                    model,
+                    psf,
+                    residual,
+                )
+                state.update(
+                    cycle=cycle + 1, model=model, res=residual
+                )
+                flush()
     return np.asarray(model), np.asarray(residual), np.asarray(psf)
 
 
