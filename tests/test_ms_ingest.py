@@ -168,3 +168,14 @@ def test_missing_casacore_message(tmp_path, monkeypatch):
 
     with pytest.raises(ImportError, match="python-casacore"):
         VisibilityReader(ms_path)
+
+
+def test_ingest_cli(fake_ms, tmp_path):
+    from ska_sdp_cip_tpu.apps.ingest_app import run_program
+    from ska_sdp_cip_tpu.io.visibility_dataset import VisibilityReader
+
+    ms_path, main, _ = fake_ms
+    vz_path = tmp_path / "cli.vz"
+    run_program([str(ms_path), str(vz_path), "--row-block", "7"])
+    reader = VisibilityReader(vz_path)
+    np.testing.assert_array_equal(reader.uvw(), main["UVW"])
