@@ -40,7 +40,7 @@ import numpy as np
 from jax import lax
 
 from .fft import fft_first_axis, fft_last_axis, make_fft_plan
-from .kernels import es_kernel_poly_jnp, es_poly_coeffs
+from .kernels import es_kernel_jnp
 from .plan import GridderPlan, make_plan
 
 SPEED_OF_LIGHT = 299792458.0
@@ -439,9 +439,8 @@ def _group_kernel_matrices(plan: GridderPlan, arrays: dict, bs):
     inv_half = jnp.float32(2.0 / W)
     zx = (rx.astype(jnp.float32) - fx[:, :, None]) * inv_half
     zy = (ry.astype(jnp.float32) - fy[:, :, None]) * inv_half
-    coeffs = es_poly_coeffs(plan.beta)
-    ax = es_kernel_poly_jnp(zx, coeffs)
-    ay = es_kernel_poly_jnp(zy, coeffs)
+    ax = es_kernel_jnp(zx, plan.beta)
+    ay = es_kernel_jnp(zy, plan.beta)
 
     lane = jnp.arange(B, dtype=jnp.int32)[None, :] < length[:, None]
     return ax, ay, s, lane, ws, ox, oy
@@ -655,9 +654,8 @@ def build_invert(
                         plan, arrays, bs
                     )
                     if plan.wstacking:
-                        kw = es_kernel_poly_jnp(
-                            (w_p - ws) * inv_whalf,
-                            es_poly_coeffs(plan.beta),
+                        kw = es_kernel_jnp(
+                            (w_p - ws) * inv_whalf, plan.beta
                         )
                     else:
                         kw = jnp.ones_like(ws)
@@ -893,9 +891,8 @@ def build_predict(
                         plan, arrays, bs
                     )
                     if plan.wstacking:
-                        kw = es_kernel_poly_jnp(
-                            (w_p - ws) * inv_whalf,
-                            es_poly_coeffs(plan.beta),
+                        kw = es_kernel_jnp(
+                            (w_p - ws) * inv_whalf, plan.beta
                         )
                     else:
                         kw = jnp.ones_like(ws)

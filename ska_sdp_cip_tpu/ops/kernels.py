@@ -90,52 +90,6 @@ def es_kernel_jnp(z, beta: float):
     return jnp.where(t > 0.0, jnp.exp(beta * s - beta), 0.0)
 
 
-#: Degree of the polynomial ES evaluation (power basis in x = 2z^2-1).
-ES_POLY_DEGREE = 12
-
-
-from functools import lru_cache
-
-
-@lru_cache(maxsize=64)
-def es_poly_coeffs(beta: float, degree: int = ES_POLY_DEGREE) -> np.ndarray:
-    """
-    Power-basis coefficients (in ``x = 2 z^2 - 1``) approximating the
-    ES kernel on |z| <= 1 — the hot-path evaluation form.
-
-    The exact kernel costs a sqrt + exp per element on the VPU
-    (measured ~25% of the whole gridding kernel, docs/performance.rst);
-    a single degree-12 fit evaluated by Horner is all single-cycle
-    FMAs. Fitting in the Chebyshev variable keeps coefficients O(1)
-    (max |c| ~ 0.2), so float32 Horner holds <= 5e-7 absolute error for
-    every plan beta in use (13.9 at sigma=2/W=6 up to 21.6) — two
-    orders below the float32 pipeline noise and four below the 1e-4
-    contract. Returned float32, ready to close over in jitted code.
-    """
-    from numpy.polynomial import chebyshev
-
-    # Chebyshev-distributed nodes in u = z^2 on [0, 1]
-    u = 0.5 * (1.0 - np.cos(np.pi * np.arange(4000) / 3999.0))
-    f = np.exp(beta * (np.sqrt(1.0 - u) - 1.0))
-    coef = chebyshev.chebfit(2.0 * u - 1.0, f, degree)
-    return chebyshev.cheb2poly(coef).astype(np.float32)
-
-
-def es_kernel_poly_jnp(z, coeffs):
-    """
-    Polynomial ES kernel on |z| < 1, zero outside (jnp; see
-    :func:`es_poly_coeffs`). ``coeffs`` is a host numpy array (closed
-    over as constants). Matches :func:`es_kernel_jnp` to ~5e-7 at a
-    fraction of its VPU cost.
-    """
-    zz = z * z
-    x = 2.0 * zz - 1.0
-    acc = jnp.full_like(z, float(coeffs[-1]))
-    for c in coeffs[-2::-1]:
-        acc = acc * x + float(c)
-    return jnp.where(zz < 1.0, acc, 0.0)
-
-
 def gauss_legendre_kernel_quadrature(
     support: int, beta: float, num_points: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.hostmem import alloc_populated
-from .kernels import es_kernel_poly_jnp, es_poly_coeffs
+from .kernels import es_kernel_jnp
 from .plan import (
     NUM_IN_BUFFERS,
     NUM_OUT_BUFFERS,
@@ -170,14 +170,8 @@ def _decode_step(step_val, step_aux, j):
 
 
 def _kernel_factors(plan: GridderPlan, pack, wp_ref, wstacking):
-    """
-    VPU build of the separable kernel matrices for one block. The ES
-    kernel is evaluated as a degree-12 polynomial (all single-cycle
-    FMAs; ops/kernels.py es_poly_coeffs) — the exact sqrt+exp form
-    measured ~25% of the whole gridding kernel.
-    """
+    """VPU build of the separable kernel matrices for one block."""
     PX, PY, B, W = plan.patch_x, plan.patch_y, plan.block, plan.support
-    coeffs = es_poly_coeffs(plan.beta)
     xpos = pack[0:1, :]
     ypos = pack[1:2, :]
     ws = pack[2:3, :]
@@ -189,17 +183,15 @@ def _kernel_factors(plan: GridderPlan, pack, wp_ref, wstacking):
     iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0).astype(
         jnp.float32
     )
-    ax = es_kernel_poly_jnp((iota_x - xpos) * inv_half, coeffs)
-    ay = es_kernel_poly_jnp((iota_y - ypos) * inv_half, coeffs)
+    ax = es_kernel_jnp((iota_x - xpos) * inv_half, plan.beta)
+    ay = es_kernel_jnp((iota_y - ypos) * inv_half, plan.beta)
     lane = (
         lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
         < lenf
     )
     if wstacking:
         inv_whalf = 2.0 / (W * plan.dw)
-        kw = es_kernel_poly_jnp(
-            (wp_ref[0, 0] - ws) * inv_whalf, coeffs
-        )
+        kw = es_kernel_jnp((wp_ref[0, 0] - ws) * inv_whalf, plan.beta)
     else:
         kw = jnp.ones_like(ws)
     amp = jnp.where(lane, kw, 0.0)
