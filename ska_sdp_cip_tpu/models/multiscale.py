@@ -59,7 +59,8 @@ def _conv_same(image, kernel):
 
 
 @partial(
-    jax.jit, static_argnames=("gain", "max_iter", "num_scales")
+    jax.jit,
+    static_argnames=("gain", "max_iter", "num_scales", "psf_patch"),
 )
 def _multiscale_minor(
     residual,
@@ -70,7 +71,27 @@ def _multiscale_minor(
     gain: float,
     max_iter: int,
     num_scales: int,
+    psf_patch: int | None = None,
 ):
+    """
+    One multiscale minor cycle. With ``psf_patch`` (< npix) the
+    Clark-style fast path runs: cross-PSF subtraction truncated to the
+    central patch and per-(scale, block) maxima maintained
+    incrementally — at production sizes the exact path would build
+    (S, S, npix, npix) cross PSFs (6.7 GB at 10240 px) and pay
+    O(S npix^2) per iteration.
+    """
+    if psf_patch is not None and psf_patch < residual.shape[0]:
+        return _multiscale_minor_clark(
+            residual,
+            psf,
+            kernels,
+            biases,
+            gain=gain,
+            max_iter=max_iter,
+            num_scales=num_scales,
+            psf_patch=int(psf_patch),
+        )
     npix = residual.shape[0]
     half = npix // 2
 
@@ -163,6 +184,150 @@ def _multiscale_minor(
     return model, residual_out
 
 
+def _multiscale_minor_clark(
+    residual,
+    psf,
+    kernels,
+    biases,
+    *,
+    gain: float,
+    max_iter: int,
+    num_scales: int,
+    psf_patch: int,
+):
+    """
+    Clark-style multiscale minor cycle (see :func:`_multiscale_minor`):
+    per-(scale, block) biased maxima refreshed only where the truncated
+    cross-PSF patches landed. All scales' frames update in ONE
+    dynamic_update_slice per iteration.
+    """
+    from .clean import _minor_block
+
+    npix = residual.shape[0]
+    half = npix // 2
+    S = num_scales
+    P = psf_patch
+    if P % 2:
+        raise ValueError("psf_patch must be even")
+    pad = P // 2
+    block = _minor_block(npix, P)
+    nb = npix // block
+    K = P // block + 1
+    ksize = kernels.shape[1]
+
+    def pad_frame(img):
+        frame = jnp.zeros((npix + P, npix + P), img.dtype)
+        return lax.dynamic_update_slice(frame, img, (pad, pad))
+
+    frames = jnp.stack(
+        [
+            pad_frame(_conv_same(residual, kernels[s]))
+            for s in range(S)
+        ]
+    )
+
+    # Cross-PSF central windows (S, S, P, P), built from a psf window
+    # with a 2*ksize margin so SAME-conv edge effects stay outside the
+    # kept patch. Never materializes (S, S, npix, npix).
+    M = P + 2 * ksize
+    m0 = (M - P) // 2
+    psf_win = lax.dynamic_slice(
+        psf, (half - M // 2, half - M // 2), (M, M)
+    )
+    cross_win = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    _conv_same(
+                        _conv_same(psf_win, kernels[s]), kernels[t]
+                    )[m0 : m0 + P, m0 : m0 + P]
+                    for t in range(S)
+                ]
+            )
+            for s in range(S)
+        ]
+    )
+
+    model0 = jnp.zeros((npix, npix), jnp.float32)
+    kr = ksize // 2
+
+    def biased_block_max(region):
+        # region (S, R, R) -> (S, R/block, R/block) of biased |.|
+        R = region.shape[1]
+        mb = jnp.max(
+            jnp.abs(
+                region.reshape(S, R // block, block, R // block, block)
+            ),
+            axis=(2, 4),
+        )
+        return mb * biases[:, None, None]
+
+    inner0 = frames[:, pad : pad + npix, pad : pad + npix]
+    bm0 = biased_block_max(inner0)
+
+    def cond(state):
+        _, _, _, it, metric = state
+        return jnp.logical_and(it < max_iter, metric > 0.0)
+
+    def body(state):
+        frames, model, bm, it, _ = state
+        flat = jnp.argmax(bm)
+        s = flat // (nb * nb)
+        rem = flat % (nb * nb)
+        bi = rem // nb
+        bj = rem % nb
+        tile = lax.dynamic_slice(
+            frames,
+            (s, pad + bi * block, pad + bj * block),
+            (1, block, block),
+        )[0]
+        fine = jnp.argmax(jnp.abs(tile))
+        i = bi * block + fine // block
+        j = bj * block + fine % block
+        value = tile.reshape(-1)[fine]
+        amplitude = gain * value
+
+        # Model gains an s-scale blob at (i, j)
+        pad_model = jnp.zeros(
+            (npix + 2 * kr, npix + 2 * kr), jnp.float32
+        )
+        pad_model = lax.dynamic_update_slice(pad_model, model, (kr, kr))
+        window = lax.dynamic_slice(pad_model, (i, j), (ksize, ksize))
+        pad_model = lax.dynamic_update_slice(
+            pad_model, window + amplitude * kernels[s], (i, j)
+        )
+        model = lax.dynamic_slice(pad_model, (kr, kr), (npix, npix))
+
+        # All scales lose amplitude * P_{s,t} patches at (i, j):
+        # peak at frame (i+pad, j+pad), patch centred -> start (i, j).
+        patches = jnp.take(cross_win, s, axis=0)  # (S, P, P)
+        window = lax.dynamic_slice(frames, (0, i, j), (S, P, P))
+        frames = lax.dynamic_update_slice(
+            frames, window - amplitude * patches, (0, i, j)
+        )
+
+        # Refresh the K x K biased block maxima for every scale.
+        bi0 = jnp.clip((i - P // 2) // block, 0, nb - K)
+        bj0 = jnp.clip((j - P // 2) // block, 0, nb - K)
+        region = lax.dynamic_slice(
+            frames,
+            (0, pad + bi0 * block, pad + bj0 * block),
+            (S, K * block, K * block),
+        )
+        bm = lax.dynamic_update_slice(
+            bm, biased_block_max(region), (0, bi0, bj0)
+        )
+        return frames, model, bm, it + 1, jnp.max(bm)
+
+    frames, model, _, _, _ = lax.while_loop(
+        cond,
+        body,
+        (frames, model0, bm0, jnp.int32(0), jnp.max(bm0)),
+    )
+    residual_out = frames[0, pad : pad + npix, pad : pad + npix]
+    return model, residual_out
+
+
 def multiscale_clean(
     operator: MeasurementOperator,
     vis,
@@ -172,13 +337,20 @@ def multiscale_clean(
     gain: float = 0.1,
     minor_iter: int = 100,
     bias_slope: float = 0.6,
+    psf_patch: int | str | None = "auto",
 ):
     """
     Multiscale Cotton-Schwab CLEAN. Returns ``(model, residual)``.
 
     ``bias_slope`` down-weights large scales in peak selection
     (standard multiscale bias ``1 - slope * scale/max_scale``).
+    ``psf_patch`` as in models/clean.py ("auto": Clark-truncated
+    above 4096 px).
     """
+    from .clean import pick_psf_patch
+
+    if psf_patch == "auto":
+        psf_patch = pick_psf_patch(operator.plan.num_pixels)
     vis = operator.stage(vis)
     psf = operator.psf()
     npix = operator.plan.num_pixels
@@ -206,6 +378,7 @@ def multiscale_clean(
             gain=gain,
             max_iter=minor_iter,
             num_scales=len(scales),
+            psf_patch=psf_patch,
         )
         model = model + delta
         residual = -operator.residual_gradient(model, vis)

@@ -157,6 +157,7 @@ def sharded_major_cycle_clean(
                 gain=gain,
                 max_iter=minor_iter,
                 num_scales=len(scales),
+                psf_patch=psf_patch,
             )
         else:
             delta, _ = hogbom_clean(

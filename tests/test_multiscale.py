@@ -56,3 +56,88 @@ def test_multiscale_reduces_residual(reader):
     assert model.sum() > 0
     assert np.abs(residual).max() < 0.7 * dirty_peak
     assert np.isfinite(model).all() and np.isfinite(residual).all()
+
+
+def test_clark_multiscale_matches_exact_for_compact_psf():
+    """
+    When the cross PSFs are fully contained in the truncation patch,
+    the Clark multiscale path makes exactly the same (scale, pixel)
+    choices and subtractions as the exact path.
+    """
+    import jax.numpy as jnp
+
+    from ska_sdp_cip_tpu.models.multiscale import (
+        _multiscale_minor,
+        scale_kernel,
+    )
+
+    npix = 128
+    rng = np.random.default_rng(31)
+    # Compact PSF within the central 16x16 cells
+    psf = np.zeros((npix, npix), np.float32)
+    axis = np.arange(-7, 8)
+    rr2 = np.add.outer(axis**2, axis**2)
+    psf[
+        npix // 2 - 7 : npix // 2 + 8, npix // 2 - 7 : npix // 2 + 8
+    ] = np.exp(-0.5 * rr2 / 4.0)
+    dirty = 0.02 * rng.normal(size=(npix, npix)).astype(np.float32)
+    dirty[30, 100] += 2.0
+    dirty[90, 40] += 1.2
+
+    scales = (0.0, 2.0)
+    radius = 5
+    kernels = jnp.asarray(
+        np.stack([scale_kernel(s, radius) for s in scales])
+    )
+    biases = jnp.asarray(np.array([1.0, 0.7], np.float32))
+
+    kwargs = dict(gain=0.2, max_iter=25, num_scales=len(scales))
+    exact_m, exact_r = _multiscale_minor(
+        jnp.asarray(dirty), jnp.asarray(psf), kernels, biases, **kwargs
+    )
+    # Patch 64 >= psf support (15) + 2 kernel diameters (2*11): fully
+    # contains every cross PSF.
+    fast_m, fast_r = _multiscale_minor(
+        jnp.asarray(dirty),
+        jnp.asarray(psf),
+        kernels,
+        biases,
+        psf_patch=64,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_m), np.asarray(exact_m), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_r), np.asarray(exact_r), atol=2e-6
+    )
+
+
+def test_clark_multiscale_reduces_residual(reader):
+    """Truncated path still cleans with a real (sidelobed) PSF."""
+    from ska_sdp_cip_tpu.models.multiscale import multiscale_clean
+
+    gridder_input = StokesIGridderInput.from_reader(reader)
+    operator = MeasurementOperator.build(
+        gridder_input.uvw,
+        gridder_input.channel_frequencies,
+        gridder_input.effective_weights(),
+        128,
+        pixel_size_lm_from_asec(30.0),
+        epsilon=1e-4,
+    )
+    vis = gridder_input.visibilities.ravel()
+    dirty_peak = float(
+        np.abs(np.asarray(operator.dirty_image(vis))).max()
+    )
+    model, residual = multiscale_clean(
+        operator,
+        vis,
+        scales=(0.0, 2.0),
+        num_major=2,
+        gain=0.2,
+        minor_iter=20,
+        psf_patch=32,
+    )
+    assert np.abs(np.asarray(residual)).max() < dirty_peak
+    assert float(np.asarray(model).sum()) > 0
