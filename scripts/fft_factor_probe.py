@@ -39,6 +39,7 @@ def main() -> None:
 
     from ska_sdp_cip_tpu.ops import fft as fftmod
     from ska_sdp_cip_tpu.ops.fft import (
+        fft_first_axis,
         fft_last_axis,
         fft_plan_arrays,
         make_fft_plan,
@@ -91,6 +92,37 @@ def main() -> None:
         results[f"last_axis_{n1}x{n2}_s"] = timed(last)
         print(
             f"# ({n1},{n2}): {results[f'last_axis_{n1}x{n2}_s']}",
+            flush=True,
+        )
+
+        def first(re, im, seed, f=f):
+            re = re * (1.0 + seed * 1e-30)
+            r1, i1 = fft_first_axis(
+                re, im, f, sign=+1, out_crop=(crop0, npix)
+            )
+            return r1[0, 0] + i1[0, 0]
+
+        results[f"first_axis_{n1}x{n2}_s"] = timed(first)
+        print(
+            f"# first ({n1},{n2}): "
+            f"{results[f'first_axis_{n1}x{n2}_s']}",
+            flush=True,
+        )
+
+        def full(re, im, seed, f=f):
+            re = re * (1.0 + seed * 1e-30)
+            r1, i1 = fft_last_axis(
+                re, im, f, sign=+1, out_crop=(crop0, npix)
+            )
+            r2, i2 = fft_first_axis(
+                r1, i1, f, sign=+1, out_crop=(crop0, npix)
+            )
+            return r2[0, 0] + i2[0, 0]
+
+        results[f"fft2_{n1}x{n2}_s"] = timed(full)
+        print(
+            f"# fft2 ({n1},{n2}): "
+            f"{results[f'fft2_{n1}x{n2}_s']}",
             flush=True,
         )
     fftmod._near_square_factors = orig

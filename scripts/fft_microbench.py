@@ -1,15 +1,13 @@
 """
 Per-plane cost decomposition of the production invert on one chip.
 
-The production invert (scripts/production_bench.py: 10240 px -> 20480^2
-grid, 9 w-planes) measures ~171 ms/plane while the MAC+HBM floor of the
-per-plane pipeline is ~35 ms — this script times each stage of
-plane_body in isolation on hardware to locate the gap:
-
-  1. fft2-to-image (both axes, out-cropped to npix)
-  2. fft stage pieces (last-axis full, first-axis cropped input)
-  3. fold_wraps
-  4. w-correction accumulate
+Times each stage of the per-w-plane pipeline (grid-sized FFT passes,
+elementwise pass, raw matmul) in isolation on hardware. Relay timing
+rules (see bench.py): execution is lazy and identical (program, input)
+pairs can be served from a relay cache, so every timed function folds
+its result to a SCALAR inside jit (fetching any array element would
+drag the full buffer through the tunnel) and feeds a fresh seed per
+repeat.
 
 Usage: python scripts/fft_microbench.py [npix]
 """
@@ -21,22 +19,7 @@ import time
 import numpy as np
 
 NPIX = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
-
-
-def timed(fn, *args, n=3):
-    out = fn(*args)
-    _ = float(np.asarray(out[0] if isinstance(out, tuple) else out).ravel()[0])
-    best = 1e9
-    for _i in range(n):
-        t0 = time.time()
-        out = fn(*args)
-        _ = float(
-            np.asarray(
-                out[0] if isinstance(out, tuple) else out
-            ).ravel()[0]
-        )
-        best = min(best, time.time() - t0)
-    return best
+REPEATS = 3
 
 
 def main() -> None:
@@ -58,8 +41,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from ska_sdp_cip_tpu.ops.fft import (
-        fft_last_axis,
         fft_first_axis,
+        fft_last_axis,
         fft_plan_arrays,
         make_fft_plan,
     )
@@ -78,60 +61,75 @@ def main() -> None:
         rng.normal(size=(ngrid, ngrid)).astype(np.float32)
     )
 
+    def timed(fn):
+        fn_jit = jax.jit(fn)
+        _ = float(np.asarray(fn_jit(grid_re, grid_im, jnp.float32(0.0))))
+        best = 1e30
+        for k in range(REPEATS):
+            seed = jnp.float32(k + 1.0)
+            t0 = time.time()
+            _ = float(np.asarray(fn_jit(grid_re, grid_im, seed)))
+            best = min(best, time.time() - t0)
+        return round(best, 4)
+
     results = {"ngrid": ngrid, "npix": npix}
 
-    @jax.jit
-    def full(re, im):
+    def record(name, fn):
+        results[name] = timed(fn)
+        print(f"# {name}: {results[name]}", flush=True)
+
+    def full(re, im, seed):
+        re = re * (1.0 + seed * 1e-30)
         r1, i1 = fft_last_axis(re, im, f, sign=+1, out_crop=(crop0, npix))
         r2, i2 = fft_first_axis(r1, i1, f, sign=+1, out_crop=(crop0, npix))
-        return r2, i2
+        return r2[0, 0] + i2[0, 0] + r2[npix // 2, npix // 2]
 
-    results["fft2_to_image_s"] = timed(full, grid_re, grid_im)
+    record("fft2_to_image_s", full)
 
-    @jax.jit
-    def last_only(re, im):
-        return fft_last_axis(re, im, f, sign=+1, out_crop=(crop0, npix))
+    def last_only(re, im, seed):
+        re = re * (1.0 + seed * 1e-30)
+        r1, i1 = fft_last_axis(re, im, f, sign=+1, out_crop=(crop0, npix))
+        return r1[0, 0] + i1[0, 0]
 
-    results["fft_last_axis_s"] = timed(last_only, grid_re, grid_im)
+    record("fft_last_axis_s", last_only)
 
-    re1, im1 = jax.block_until_ready(last_only(grid_re, grid_im))
+    def last_nocrop(re, im, seed):
+        re = re * (1.0 + seed * 1e-30)
+        r1, i1 = fft_last_axis(re, im, f, sign=+1)
+        return r1[0, 0] + i1[0, 0]
 
-    @jax.jit
-    def first_only(re, im):
-        return fft_first_axis(re, im, f, sign=+1, out_crop=(crop0, npix))
+    record("fft_last_axis_nocrop_s", last_nocrop)
 
-    results["fft_first_axis_s"] = timed(first_only, re1, im1)
+    def axpy(re, im, seed):
+        re = re * (1.0 + seed * 1e-30)
+        out_r = re * 1.0001 + im
+        out_i = im * 0.9999 - re
+        return out_r[0, 0] + out_i[0, 0]
 
-    # Uncropped last-axis pass (stage-2 pruning effect)
-    @jax.jit
-    def last_nocrop(re, im):
-        return fft_last_axis(re, im, f, sign=+1)
+    record("elementwise_pass_s", axpy)
 
-    results["fft_last_axis_nocrop_s"] = timed(last_nocrop, grid_re, grid_im)
-
-    # Pure elementwise pass for the bandwidth floor
-    @jax.jit
-    def axpy(re, im):
-        return re * 1.0001 + im, im * 0.9999 - re
-
-    results["elementwise_pass_s"] = timed(axpy, grid_re, grid_im)
-
-    # Pure big matmul for the MXU ceiling at this precision
-    a = jnp.asarray(rng.normal(size=(8192, 8192)).astype(np.float32))
-
-    @jax.jit
-    def mm(a):
+    # NOTE: the matmul operand must be an ARGUMENT — a closed-over
+    # 256 MB constant gets embedded in the remote-compile request and
+    # the relay rejects it (HTTP 413).
+    def mm(re, im, seed):
+        del im
         import jax.lax as lax
 
-        return jnp.matmul(a, a, precision=lax.Precision.HIGH)
+        operand = lax.slice(re, (0, 0), (8192, 8192))
+        out = jnp.matmul(
+            operand * (1.0 + seed * 1e-30),
+            operand,
+            precision=lax.Precision.HIGH,
+        )
+        return out[0, 0]
 
-    t = timed(mm, a)
+    t = timed(mm)
     results["matmul8k_s"] = t
     results["matmul8k_tflops_bf16x3"] = round(
         3 * 2 * 8192**3 / t / 1e12, 1
     )
 
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in results.items()}))
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
