@@ -317,6 +317,12 @@ def _open_backend(path: Path) -> "_Backend":
     if is_vz_dataset(path):
         return _VZBackend(path)
     if is_measurement_set(path):
+        try:
+            import casacore.tables  # noqa: F401
+        except ImportError:
+            # Casacore-free fallback (io/casacore_tables.py): lets
+            # TPU hosts without the C++ stack ingest an MS directly.
+            return _NativeMSBackend(path)
         return _CasacoreBackend(path)
     raise FileNotFoundError(
         f"Not a VZ dataset or MeasurementSet v2: {path} "
@@ -556,6 +562,89 @@ class _CasacoreBackend(_Backend):
             return tbl.getcolslice(
                 "WEIGHT", blc=0, trc=3, startrow=r0, nrow=r1 - r0
             )
+
+
+class _NativeMSBackend(_Backend):
+    """
+    Casacore-free MSv2 backend (io/casacore_tables.py) — the fallback
+    when python-casacore is not installed, so TPU hosts can ingest an
+    MS without the C++ stack (SURVEY 2b row 2). Columns are decoded
+    whole and cached (ingest streams row blocks over them); windowed
+    slicing happens in numpy. Format support is the StandardStMan
+    subset; anything else raises CasacoreFormatError loudly.
+    """
+
+    def __init__(self, path: Path) -> None:
+        from .casacore_tables import read_table
+
+        self.path = path
+        self._main = read_table(path)
+        self._cols: dict[str, NDArray] = {}
+        self._subs: dict[str, object] = {}
+
+    def _sub(self, name: str):
+        if name not in self._subs:
+            self._subs[name] = self._main.subtable(name)
+        return self._subs[name]
+
+    def _col(self, name: str) -> NDArray:
+        if name not in self._cols:
+            self._cols[name] = self._main.getcol(name)
+        return self._cols[name]
+
+    def num_rows(self) -> int:
+        return self._main.num_rows
+
+    def num_channels(self) -> int:
+        return int(self._sub("SPECTRAL_WINDOW").getcol("CHAN_FREQ").size)
+
+    def num_spectral_windows(self) -> int:
+        return self._sub("SPECTRAL_WINDOW").num_rows
+
+    def num_fields(self) -> int:
+        return self._sub("FIELD").num_rows
+
+    def num_polarization_rows(self) -> int:
+        return self._sub("POLARIZATION").num_rows
+
+    def corr_types(self) -> tuple:
+        return tuple(
+            int(c)
+            for c in np.asarray(
+                self._sub("POLARIZATION").getcol("CORR_TYPE")
+            )[0]
+        )
+
+    def channel_frequencies(self, c0: int, c1: int) -> NDArray:
+        freqs = np.asarray(
+            self._sub("SPECTRAL_WINDOW").getcol("CHAN_FREQ")
+        )[0]
+        return freqs[c0:c1]
+
+    def time(self, r0: int, r1: int) -> NDArray:
+        return self._col("TIME")[r0:r1]
+
+    def uvw(self, r0: int, r1: int) -> NDArray:
+        return self._col("UVW")[r0:r1]
+
+    def flags(self, r0: int, r1: int, c0: int, c1: int) -> NDArray:
+        return self._col("FLAG")[r0:r1, c0:c1]
+
+    def visibilities(self, r0: int, r1: int, c0: int, c1: int) -> NDArray:
+        return self._col("DATA")[r0:r1, c0:c1]
+
+    def weights(self, r0: int, r1: int, c0: int, c1: int) -> NDArray:
+        if self.has_weight_spectrum():
+            return self._col("WEIGHT_SPECTRUM")[r0:r1, c0:c1]
+        weight = self.row_weights(r0, r1)
+        nrow, npol = weight.shape
+        return weight.reshape(nrow, 1, npol).repeat(c1 - c0, axis=1)
+
+    def has_weight_spectrum(self) -> bool:
+        return "WEIGHT_SPECTRUM" in self._main.columns
+
+    def row_weights(self, r0: int, r1: int) -> NDArray:
+        return self._col("WEIGHT")[r0:r1]
 
 
 # ----------------------------------------------------------------------

@@ -49,12 +49,19 @@ MB = 128
 
 #: Target VMEM bytes for one output-row-block accumulator component.
 #: QB (input re-reads) is chosen as the smallest split meeting this.
-_OUT_BLOCK_BYTES = 3 * 1024 * 1024
+#: 6 MiB keeps QB=1 at the production sizes (measured on the v5e:
+#: QB=1 45.7 ms vs QB=2 54.3 ms per 15360^2 axis pass — the extra
+#: VMEM is cheaper than re-reading the input).
+_OUT_BLOCK_BYTES = 6 * 1024 * 1024
 
 
 def _pick_chunk(n2: int) -> int:
-    """Largest divisor of n2 that is <= 32 (j2 chunk size C)."""
-    for c in range(min(n2, 32), 0, -1):
+    """
+    Largest divisor of n2 that is <= 64 (j2 chunk size C). Measured
+    on the v5e at 15360^2 (QB=1): C=64 45.0 ms, C=32 46.1 ms, C=16
+    61.9 ms per axis pass; C=128 exceeds VMEM.
+    """
+    for c in range(min(n2, 64), 0, -1):
         if n2 % c == 0:
             return c
     return 1
@@ -79,6 +86,7 @@ class FusedPassMeta:
     k2a: int
     trim0: int
     size: int
+    mb: int = MB
 
     @property
     def nc(self) -> int:
@@ -95,6 +103,7 @@ def fused_pass_meta(
     *,
     chunk: int | None = None,
     qb: int | None = None,
+    mb: int = MB,
 ) -> FusedPassMeta:
     """
     Geometry (crop pruning + block splits) for one fused pass.
@@ -119,6 +128,7 @@ def fused_pass_meta(
     else:
         c_pick = _pick_chunk(n2)
     return FusedPassMeta(
+        mb=mb,
         n1=n1,
         n2=n2,
         c=c_pick,
@@ -214,13 +224,14 @@ def _kernel(
     n1: int,
     c: int,
     qs: int,
+    mb: int,
 ):
     ci = pl.program_id(2)
     f32 = jnp.float32
 
     # Stage 1: contract j1 (bf16x3). (C, MB) merged minor dims.
     x2 = jnp.concatenate([re_ref[:], im_ref[:]], axis=0)
-    x2 = x2.reshape(2 * n1, c * MB)
+    x2 = x2.reshape(2 * n1, c * mb)
     xh = x2.astype(jnp.bfloat16)
     xl = (x2 - xh.astype(f32)).astype(jnp.bfloat16)
     m1h = m1h_ref[:]
@@ -229,8 +240,8 @@ def _kernel(
         + jnp.dot(m1l_ref[:], xh, preferred_element_type=f32)
         + jnp.dot(m1h, xl, preferred_element_type=f32)
     )
-    yr = y[:n1].reshape(n1, c, MB)
-    yi = y[n1:].reshape(n1, c, MB)
+    yr = y[:n1].reshape(n1, c, mb)
+    yi = y[n1:].reshape(n1, c, mb)
 
     # Twiddle (sign folded into tws on the host).
     twc = twc_ref[0]
@@ -239,8 +250,8 @@ def _kernel(
     zi = yr * tws + yi * twc
 
     # Relayout (n1, C, MB) -> (C, n1*MB) and stage 2 (bf16x3).
-    zrt = zr.transpose(1, 0, 2).reshape(c, n1 * MB)
-    zit = zi.transpose(1, 0, 2).reshape(c, n1 * MB)
+    zrt = zr.transpose(1, 0, 2).reshape(c, n1 * mb)
+    zit = zi.transpose(1, 0, 2).reshape(c, n1 * mb)
     z2 = jnp.concatenate([zrt, zit], axis=0)
     zh = z2.astype(jnp.bfloat16)
     zl = (z2 - zh.astype(f32)).astype(jnp.bfloat16)
@@ -250,8 +261,8 @@ def _kernel(
         + jnp.dot(m2l_ref[0, 0], zh, preferred_element_type=f32)
         + jnp.dot(m2h, zl, preferred_element_type=f32)
     )
-    pr = partial[:qs].reshape(qs * n1, MB)
-    pi = partial[qs:].reshape(qs * n1, MB)
+    pr = partial[:qs].reshape(qs * n1, mb)
+    pi = partial[qs:].reshape(qs * n1, mb)
 
     @pl.when(ci == 0)
     def _init():
@@ -286,33 +297,34 @@ def fft_first_axis_fused(
     ``m`` must be a multiple of 128.
     """
     n1, n2, c, qs = meta.n1, meta.n2, meta.c, meta.qs
+    mb = meta.mb
     n = n1 * n2
     m = re.shape[1]
-    if re.shape != (n, m) or m % MB:
+    if re.shape != (n, m) or m % mb:
         raise ValueError(f"bad input shape {re.shape} for n={n}")
-    num_mb = m // MB
+    num_mb = m // mb
     grid = (num_mb, meta.qb, meta.nc)
 
     re3 = re.reshape(n1, n2, m)
     im3 = im.reshape(n1, n2, m)
 
     in_specs = [
-        pl.BlockSpec((n1, c, MB), lambda mb, qb, ci: (0, ci, mb)),
-        pl.BlockSpec((n1, c, MB), lambda mb, qb, ci: (0, ci, mb)),
-        pl.BlockSpec((2 * n1, 2 * n1), lambda mb, qb, ci: (0, 0)),
-        pl.BlockSpec((2 * n1, 2 * n1), lambda mb, qb, ci: (0, 0)),
-        pl.BlockSpec((1, n1, c, 1), lambda mb, qb, ci: (ci, 0, 0, 0)),
-        pl.BlockSpec((1, n1, c, 1), lambda mb, qb, ci: (ci, 0, 0, 0)),
+        pl.BlockSpec((n1, c, mb), lambda bm, qb, ci: (0, ci, bm)),
+        pl.BlockSpec((n1, c, mb), lambda bm, qb, ci: (0, ci, bm)),
+        pl.BlockSpec((2 * n1, 2 * n1), lambda bm, qb, ci: (0, 0)),
+        pl.BlockSpec((2 * n1, 2 * n1), lambda bm, qb, ci: (0, 0)),
+        pl.BlockSpec((1, n1, c, 1), lambda bm, qb, ci: (ci, 0, 0, 0)),
+        pl.BlockSpec((1, n1, c, 1), lambda bm, qb, ci: (ci, 0, 0, 0)),
         pl.BlockSpec(
-            (1, 1, 2 * qs, 2 * c), lambda mb, qb, ci: (qb, ci, 0, 0)
+            (1, 1, 2 * qs, 2 * c), lambda bm, qb, ci: (qb, ci, 0, 0)
         ),
         pl.BlockSpec(
-            (1, 1, 2 * qs, 2 * c), lambda mb, qb, ci: (qb, ci, 0, 0)
+            (1, 1, 2 * qs, 2 * c), lambda bm, qb, ci: (qb, ci, 0, 0)
         ),
     ]
     out_specs = [
-        pl.BlockSpec((qs * n1, MB), lambda mb, qb, ci: (qb, mb)),
-        pl.BlockSpec((qs * n1, MB), lambda mb, qb, ci: (qb, mb)),
+        pl.BlockSpec((qs * n1, mb), lambda bm, qb, ci: (qb, bm)),
+        pl.BlockSpec((qs * n1, mb), lambda bm, qb, ci: (qb, bm)),
     ]
     rows = meta.n_rows_padded
     out_shape = [
@@ -321,7 +333,7 @@ def fft_first_axis_fused(
     ]
 
     outr, outi = pl.pallas_call(
-        partial(_kernel, n1=n1, c=c, qs=qs),
+        partial(_kernel, n1=n1, c=c, qs=qs, mb=mb),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

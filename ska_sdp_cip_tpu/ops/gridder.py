@@ -212,6 +212,17 @@ def plan_host_arrays(
             "fft_tw_sin": fft_plan.tw_sin,
         }
     )
+    # Fused-Pallas FFT factors (~0.7 MB) whenever the sizes are
+    # lane-aligned, so a build may select CIP_FFT_IMPL=pallas without
+    # re-staging.
+    if plan.ngrid % 128 == 0 and plan.num_pixels % 128 == 0:
+        from .fft_pallas import fused_pass_host_arrays
+
+        arrays.update(
+            fused_pass_host_arrays(
+                fft_plan, _fused_fft_meta(plan), sign=+1, prefix="fftp"
+            )
+        )
     return arrays
 
 
@@ -460,6 +471,65 @@ def _fft2_to_image(arrays, grid_re, grid_im, crop0, npix):
     )
 
 
+def resolve_fft_impl(plan: GridderPlan, fft_impl: str | None) -> str:
+    """
+    FFT implementation for the invert image pass: "pallas" (fused
+    Pallas axis passes, ops/fft_pallas.py) or "xla" (matmul FFT,
+    ops/fft.py). ``None`` defers to env ``CIP_FFT_IMPL`` (default
+    "auto": pallas on TPU backends when the grid and image sizes are
+    lane-aligned, else xla — CPU tests and the multichip dryrun keep
+    the XLA path).
+    """
+    import os
+
+    impl = fft_impl or os.environ.get("CIP_FFT_IMPL", "auto")
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown CIP_FFT_IMPL {impl!r}")
+    aligned = plan.ngrid % 128 == 0 and plan.num_pixels % 128 == 0
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return "pallas" if (aligned and on_tpu) else "xla"
+    if impl == "pallas" and not aligned:
+        raise ValueError(
+            "CIP_FFT_IMPL=pallas needs ngrid and npix to be "
+            f"multiples of 128 (got {plan.ngrid}, {plan.num_pixels})"
+        )
+    return impl
+
+
+def _fused_fft_meta(plan: GridderPlan):
+    """Static geometry of the fused invert FFT passes for this plan."""
+    from .fft_pallas import fused_pass_meta
+
+    npix = plan.num_pixels
+    crop0 = (plan.ngrid - npix) // 2
+    return fused_pass_meta(
+        make_fft_plan(plan.ngrid, shifted=True), (crop0, npix)
+    )
+
+
+def _fft2_to_image_fused_t(arrays, grid_re, grid_im, fmeta):
+    """
+    Fused-Pallas centred inverse 2-D DFT cropped to the image — but
+    returning the TRANSPOSED image. The geometry maps (inv_corr,
+    nm1s) are transpose-symmetric (square pixels, outer(c, c) taper),
+    so plane contributions accumulate correctly in transposed space
+    and the invert transposes ONCE after the plane scan instead of
+    once per plane (~8 ms/plane at the 10240 px production config).
+    """
+    from .fft_pallas import fft_first_axis_fused
+
+    interpret = jax.default_backend() == "cpu"
+    a_re, a_im = fft_first_axis_fused(
+        grid_re, grid_im, arrays, meta=fmeta, prefix="fftp",
+        interpret=interpret,
+    )
+    return fft_first_axis_fused(
+        a_re.T, a_im.T, arrays, meta=fmeta, prefix="fftp",
+        interpret=interpret,
+    )
+
+
 def _fft2_from_image(arrays, img_re, img_im, crop0, ngrid):
     """
     Adjoint of :func:`_fft2_to_image`: centred forward DFT of an
@@ -528,6 +598,7 @@ def build_invert(
     *,
     gridder: str | None = None,
     slot_input: bool = False,
+    fft_impl: str | None = None,
 ):
     """
     Returns a jitted ``invert(arrays, vis_re, vis_im) -> image``
@@ -550,6 +621,14 @@ def build_invert(
     inv_whalf = 2.0 / (W * plan.dw)
     num_chunks = _padded_active(plan) // G
     mode = resolve_gridder_mode(gridder)
+    use_fused_fft = resolve_fft_impl(plan, fft_impl) == "pallas"
+    fmeta = _fused_fft_meta(plan) if use_fused_fft else None
+
+    def fft2_image(arrays, grid_re, grid_im):
+        """Plane FFT; fused path returns the image TRANSPOSED."""
+        if use_fused_fft:
+            return _fft2_to_image_fused_t(arrays, grid_re, grid_im, fmeta)
+        return _fft2_to_image(arrays, grid_re, grid_im, crop0, npix)
 
     if mode.startswith("pallas"):
         from .pallas_gridder import build_grid_planes_pallas
@@ -608,10 +687,10 @@ def build_invert(
                         ].add(part_im)
                 grid_re = _fold_wraps(plan, grid_re)
                 grid_im = _fold_wraps(plan, grid_im)
-                img_re, img_im = _fft2_to_image(
-                    arrays, grid_re, grid_im, crop0, npix
-                )
+                img_re, img_im = fft2_image(arrays, grid_re, grid_im)
                 if plan.wstacking:
+                    # nm1s is transpose-symmetric, so the fused path's
+                    # transposed images accumulate correctly.
                     theta = (-2.0 * np.pi * w_p) * nm1s
                     contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(
                         theta
@@ -625,6 +704,8 @@ def build_invert(
                 jnp.zeros((npix, npix), jnp.float32),
                 jnp.arange(plan.nplanes),
             )
+            if use_fused_fft:
+                image = image.T
             return image * inv_corr
 
         return invert_pallas
@@ -708,9 +789,7 @@ def build_invert(
             grid_re = _fold_wraps(plan, grid_re)
             grid_im = _fold_wraps(plan, grid_im)
             # N^2 * ifft2 == unnormalized inverse DFT (sign=+1)
-            img_re, img_im = _fft2_to_image(
-                arrays, grid_re, grid_im, crop0, npix
-            )
+            img_re, img_im = fft2_image(arrays, grid_re, grid_im)
             if plan.wstacking:
                 theta = (-2.0 * np.pi * w_p) * nm1s
                 # Only the real part survives the plane sum
@@ -724,6 +803,8 @@ def build_invert(
             jnp.zeros((npix, npix), jnp.float32),
             jnp.arange(plan.nplanes),
         )
+        if use_fused_fft:
+            image = image.T
         return image * inv_corr
 
     return invert

@@ -86,7 +86,9 @@ def sharded_major_cycle_clean(
     )
     axis_name = staging.axis_name
     plan0 = staging.plans[0]
-    invert = build_invert(plan0, slot_input=True)
+    # fft_impl="xla": see parallel/sharded_invert.py — fused-Pallas
+    # FFT under shard_map is not yet proven on hardware.
+    invert = build_invert(plan0, slot_input=True, fft_impl="xla")
     predict = build_predict(plan0, slot_output=True)
     total_weight = staging.total_weight
 

@@ -478,8 +478,13 @@ def sharded_invert_dataset(
         sigma=sigma,
     )
     axis_name = staging.axis_name
+    # fft_impl="xla" until the fused-Pallas FFT is proven under
+    # shard_map on hardware (the single-device path defaults to it).
     invert = build_invert(
-        staging.plans[0], slot_input=True, gridder=gridder
+        staging.plans[0],
+        slot_input=True,
+        gridder=gridder,
+        fft_impl="xla",
     )
 
     def shard_fn(arrays, vre, vim, wgt):

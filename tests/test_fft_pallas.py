@@ -79,3 +79,53 @@ def test_fused_fft2_matches_xla_composition():
     np.testing.assert_allclose(
         np.asarray(got_i), np.asarray(ref_i), atol=5e-5 * scale
     )
+
+
+@pytest.mark.parametrize("apply_w", [False, True])
+def test_invert_fused_fft_matches_xla_fft(apply_w):
+    """
+    Full invert with the fused-Pallas FFT (interpret mode on CPU,
+    including the deferred final transpose) must match the XLA-FFT
+    invert on identical staged visibilities.
+    """
+    from ska_sdp_cip_tpu.io.synth import synthetic_uvw
+    from ska_sdp_cip_tpu.ops.gridder import (
+        build_invert,
+        plan_device_arrays,
+        stage_slot_vis,
+    )
+    from ska_sdp_cip_tpu.ops.plan import make_plan
+
+    rng = np.random.default_rng(7)
+    uvw, _ = synthetic_uvw(4, 10, max_baseline_m=3000.0, seed=5)
+    freqs = np.array([1.0e9, 1.05e9])
+    shape = (len(uvw), len(freqs))
+    vis = (
+        rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    ).astype(np.complex64)
+    wgt = rng.uniform(0.5, 2.0, size=shape).astype(np.float32)
+
+    pixel = float(np.sin(np.radians(40.0 / 3600)))
+    plan = make_plan(uvw, freqs, 128, pixel, do_wstacking=apply_w)
+    assert plan.ngrid % 128 == 0
+    arrays = plan_device_arrays(plan)
+    weighted = vis * wgt
+    s_re, s_im = stage_slot_vis(
+        plan, weighted.real.ravel(), weighted.imag.ravel()
+    )
+    s_re, s_im = jnp.asarray(s_re), jnp.asarray(s_im)
+
+    img_xla = np.asarray(
+        build_invert(plan, slot_input=True, fft_impl="xla")(
+            arrays, s_re, s_im
+        )
+    )
+    img_fused = np.asarray(
+        build_invert(plan, slot_input=True, fft_impl="pallas")(
+            arrays, s_re, s_im
+        )
+    )
+    scale = np.abs(img_xla).max()
+    np.testing.assert_allclose(
+        img_fused, img_xla, atol=3e-5 * scale, rtol=0
+    )

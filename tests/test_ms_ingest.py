@@ -156,17 +156,24 @@ def test_ms_to_vz_preserves_row_level_weight(fake_ms, tmp_path, rng):
     np.testing.assert_allclose(reader.weights(), expected, rtol=1e-6)
 
 
-def test_missing_casacore_message(tmp_path, monkeypatch):
-    """Without casacore, opening an MS gives an actionable error."""
+def test_missing_casacore_falls_back_to_native_reader(
+    tmp_path, monkeypatch
+):
+    """
+    Without casacore the native reader (io/casacore_tables.py)
+    engages; unparseable bytes fail loudly with format context
+    rather than importing-error or silent garbage.
+    """
     ms_path = tmp_path / "no_casacore.ms"
     ms_path.mkdir()
     (ms_path / "table.dat").write_bytes(b"fake")
     monkeypatch.setitem(sys.modules, "casacore", None)
     monkeypatch.setitem(sys.modules, "casacore.tables", None)
 
+    from ska_sdp_cip_tpu.io.casacore_tables import CasacoreFormatError
     from ska_sdp_cip_tpu.io.visibility_dataset import VisibilityReader
 
-    with pytest.raises(ImportError, match="python-casacore"):
+    with pytest.raises(CasacoreFormatError, match="Table"):
         VisibilityReader(ms_path)
 
 
