@@ -444,6 +444,7 @@ def sharded_invert_dataset(
     recorder=None,
     gridder: str | None = None,
     sigma: float | str = 2.0,
+    fft_impl: str | None = "xla",
 ) -> np.ndarray:
     """
     Invert a visibility dataset into a normalized Stokes-I dirty image,
@@ -455,7 +456,13 @@ def sharded_invert_dataset(
     ``gridder`` selects the kernel backend per shard
     (ops.gridder.resolve_gridder_mode): None/auto, "pallas", "xla", or
     "pallas_interpret" (the production Pallas-inside-shard_map
-    composition, executable without TPU hardware).
+    composition, executable without TPU hardware). ``fft_impl``
+    selects the plane-FFT implementation (ops.gridder
+    .resolve_fft_impl); the sharded default stays "xla" until the
+    fused Pallas FFT is measured under shard_map on hardware —
+    the composition itself is proven in interpret mode
+    (tests/test_sharded_invert.py::test_fused_fft_composes_with_
+    shard_map).
     """
     from contextlib import nullcontext
 
@@ -478,13 +485,11 @@ def sharded_invert_dataset(
         sigma=sigma,
     )
     axis_name = staging.axis_name
-    # fft_impl="xla" until the fused-Pallas FFT is proven under
-    # shard_map on hardware (the single-device path defaults to it).
     invert = build_invert(
         staging.plans[0],
         slot_input=True,
         gridder=gridder,
-        fft_impl="xla",
+        fft_impl=fft_impl,
     )
 
     def shard_fn(arrays, vre, vim, wgt):

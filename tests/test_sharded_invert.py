@@ -165,3 +165,25 @@ def test_staging_loads_only_local_shards(tmp_path, monkeypatch):
     with pytest.raises(KeyError):
         si.stage_sharded_inputs(reader, 64, 30.0, mesh=mesh)
     assert len(loaded) == 2
+
+
+def test_fused_fft_composes_with_shard_map(reader):
+    """
+    Fused-Pallas FFT passes INSIDE shard_map (interpret mode on the
+    CPU mesh), including the deferred per-invert transpose, must
+    equal the XLA-FFT sharded result.
+    """
+    mesh = make_device_mesh(2)
+    kwargs = dict(mesh=mesh, row_chunks=2, freq_chunks=1)
+    xla = sharded_invert_dataset(
+        reader, 128, PIXEL_SIZE_ASEC, fft_impl="xla", **kwargs
+    )
+    fused = sharded_invert_dataset(
+        reader, 128, PIXEL_SIZE_ASEC, fft_impl="pallas", **kwargs
+    )
+    np.testing.assert_allclose(
+        fused,
+        xla,
+        atol=3e-5 * np.abs(xla).max(),
+        rtol=0,
+    )
