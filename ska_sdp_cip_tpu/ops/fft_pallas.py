@@ -87,10 +87,22 @@ class FusedPassMeta:
     trim0: int
     size: int
     mb: int = MB
+    #: Input-crop pruning (predict's forward FFT): only j1 columns
+    #: [j1a, j1a + n1i) of the stage-1 factor are contracted, and the
+    #: caller supplies only rows [pad_lo, pad_lo + in_size) of the
+    #: covering (n1i * n2, m) input window. n1i == 0 means no crop.
+    n1i: int = 0
+    j1a: int = 0
+    pad_lo: int = 0
+    in_size: int = 0
 
     @property
     def nc(self) -> int:
         return self.n2 // self.c
+
+    @property
+    def n1_in(self) -> int:
+        return self.n1i or self.n1
 
     @property
     def n_rows_padded(self) -> int:
@@ -101,14 +113,18 @@ def fused_pass_meta(
     plan: FFTPlan,
     out_crop: tuple | None,
     *,
+    in_crop: tuple | None = None,
     chunk: int | None = None,
     qb: int | None = None,
     mb: int = MB,
 ) -> FusedPassMeta:
     """
     Geometry (crop pruning + block splits) for one fused pass.
-    ``chunk``/``qb`` override the auto-picked j2 chunk size and
-    output-row split (tuning knobs; measured on hardware).
+    ``out_crop=(start, size)`` prunes stage 2 to the covering output
+    range (the invert's image crop); ``in_crop=(start, size)`` prunes
+    stage 1 to the covering j1 range (the predict's zero-padded
+    image). ``chunk``/``qb`` override the auto-picked j2 chunk size
+    and output-row split (tuning knobs; measured on hardware).
     """
     n1, n2 = plan.n1, plan.n2
     if out_crop is not None:
@@ -127,6 +143,12 @@ def fused_pass_meta(
         c_pick = chunk
     else:
         c_pick = _pick_chunk(n2)
+    n1i = j1a = pad_lo = in_size = 0
+    if in_crop is not None:
+        ci0, in_size = in_crop
+        j1a, j1b = ci0 // n2, -(-(ci0 + in_size) // n2)
+        n1i = j1b - j1a
+        pad_lo = ci0 - j1a * n2
     return FusedPassMeta(
         mb=mb,
         n1=n1,
@@ -137,6 +159,10 @@ def fused_pass_meta(
         k2a=k2a,
         trim0=c0 - k2a * n1,
         size=size,
+        n1i=n1i,
+        j1a=j1a,
+        pad_lo=pad_lo,
+        in_size=in_size,
     )
 
 
@@ -171,11 +197,10 @@ def fused_pass_host_arrays(
     n1, n2, c = meta.n1, meta.n2, meta.c
     qb, qs, k2a = meta.qb, meta.qs, meta.k2a
 
+    d1c = plan.d1_cos[:, meta.j1a : meta.j1a + meta.n1_in]
+    d1s = plan.d1_sin[:, meta.j1a : meta.j1a + meta.n1_in]
     m1 = np.block(
-        [
-            [plan.d1_cos, -s * plan.d1_sin],
-            [s * plan.d1_sin, plan.d1_cos],
-        ]
+        [[d1c, -s * d1s], [s * d1s, d1c]]
     ).astype(np.float32)
 
     twc = plan.tw_cos.reshape(n1, meta.nc, c)
@@ -222,6 +247,7 @@ def _kernel(
     outi_ref,
     *,
     n1: int,
+    n1i: int,
     c: int,
     qs: int,
     mb: int,
@@ -229,9 +255,10 @@ def _kernel(
     ci = pl.program_id(2)
     f32 = jnp.float32
 
-    # Stage 1: contract j1 (bf16x3). (C, MB) merged minor dims.
+    # Stage 1: contract the n1i covered j1 rows (bf16x3); (C, MB)
+    # merged minor dims.
     x2 = jnp.concatenate([re_ref[:], im_ref[:]], axis=0)
-    x2 = x2.reshape(2 * n1, c * mb)
+    x2 = x2.reshape(2 * n1i, c * mb)
     xh = x2.astype(jnp.bfloat16)
     xl = (x2 - xh.astype(f32)).astype(jnp.bfloat16)
     m1h = m1h_ref[:]
@@ -298,21 +325,42 @@ def fft_first_axis_fused(
     """
     n1, n2, c, qs = meta.n1, meta.n2, meta.c, meta.qs
     mb = meta.mb
+    n1i = meta.n1_in
     n = n1 * n2
     m = re.shape[1]
-    if re.shape != (n, m) or m % mb:
-        raise ValueError(f"bad input shape {re.shape} for n={n}")
+    rows_in = meta.in_size if meta.in_size else n
+    if re.shape != (rows_in, m) or m % mb:
+        raise ValueError(
+            f"bad input shape {re.shape} (want ({rows_in}, {m}))"
+        )
+    if meta.in_size:
+        # Zero-pad the cropped rows into the covering j1 window
+        # (stage-1 pruning; the XLA path does the same, ops/fft.py).
+        shape = (n1i * n2, m)
+        re = jnp.zeros(shape, re.dtype).at[
+            meta.pad_lo : meta.pad_lo + meta.in_size
+        ].set(re)
+        im = jnp.zeros(shape, im.dtype).at[
+            meta.pad_lo : meta.pad_lo + meta.in_size
+        ].set(im)
     num_mb = m // mb
     grid = (num_mb, meta.qb, meta.nc)
 
-    re3 = re.reshape(n1, n2, m)
-    im3 = im.reshape(n1, n2, m)
+    # NOTE on input DMA: each (n1, C, MB) block gathers n1*C strided
+    # 512-byte rows and the block fetch runs at ~54 GB/s (the
+    # DMA-only ablation is 35 of the 45 ms pass at 15360^2,
+    # scripts/fft_ablation_probe.py). An explicit XLA pre-tiling
+    # transpose into contiguous blocks was measured SLOWER overall
+    # (57 ms: the 5-D transpose pass costs more than the strided DMA
+    # saves), so the kernel reads the natural layout directly.
+    re3 = re.reshape(n1i, n2, m)
+    im3 = im.reshape(n1i, n2, m)
 
     in_specs = [
-        pl.BlockSpec((n1, c, mb), lambda bm, qb, ci: (0, ci, bm)),
-        pl.BlockSpec((n1, c, mb), lambda bm, qb, ci: (0, ci, bm)),
-        pl.BlockSpec((2 * n1, 2 * n1), lambda bm, qb, ci: (0, 0)),
-        pl.BlockSpec((2 * n1, 2 * n1), lambda bm, qb, ci: (0, 0)),
+        pl.BlockSpec((n1i, c, mb), lambda bm, qb, ci: (0, ci, bm)),
+        pl.BlockSpec((n1i, c, mb), lambda bm, qb, ci: (0, ci, bm)),
+        pl.BlockSpec((2 * n1, 2 * n1i), lambda bm, qb, ci: (0, 0)),
+        pl.BlockSpec((2 * n1, 2 * n1i), lambda bm, qb, ci: (0, 0)),
         pl.BlockSpec((1, n1, c, 1), lambda bm, qb, ci: (ci, 0, 0, 0)),
         pl.BlockSpec((1, n1, c, 1), lambda bm, qb, ci: (ci, 0, 0, 0)),
         pl.BlockSpec(
@@ -333,7 +381,7 @@ def fft_first_axis_fused(
     ]
 
     outr, outi = pl.pallas_call(
-        partial(_kernel, n1=n1, c=c, qs=qs, mb=mb),
+        partial(_kernel, n1=n1, n1i=n1i, c=c, qs=qs, mb=mb),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -377,6 +425,31 @@ def fft2_to_image_fused(
     """
     a_re, a_im = fft_first_axis_fused(
         grid_re, grid_im, f, meta=meta, prefix=prefix, interpret=interpret
+    )
+    b_re, b_im = fft_first_axis_fused(
+        a_re.T, a_im.T, f, meta=meta, prefix=prefix, interpret=interpret
+    )
+    return b_re.T, b_im.T
+
+
+def fft2_from_image_fused(
+    f: dict,
+    img_re,
+    img_im,
+    *,
+    meta: FusedPassMeta,
+    prefix: str,
+    interpret: bool = False,
+):
+    """
+    Centred forward 2-D DFT of an (npix, npix) image zero-padded to
+    the (N, N) grid, as two in-cropped fused first-axis passes
+    (adjoint of :func:`fft2_to_image_fused`; matches
+    ops.gridder._fft2_from_image). ``meta`` must be built with
+    ``in_crop`` and sign=-1 factors.
+    """
+    a_re, a_im = fft_first_axis_fused(
+        img_re, img_im, f, meta=meta, prefix=prefix, interpret=interpret
     )
     b_re, b_im = fft_first_axis_fused(
         a_re.T, a_im.T, f, meta=meta, prefix=prefix, interpret=interpret

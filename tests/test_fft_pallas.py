@@ -129,3 +129,60 @@ def test_invert_fused_fft_matches_xla_fft(apply_w):
     np.testing.assert_allclose(
         img_fused, img_xla, atol=3e-5 * scale, rtol=0
     )
+
+
+@pytest.mark.parametrize("sign", [+1, -1])
+def test_fused_in_crop_matches_xla(sign):
+    n, m, size, c0 = 96, 128, 48, 24
+    plan = make_fft_plan(n, shifted=True)
+    from ska_sdp_cip_tpu.ops.fft_pallas import fft2_from_image_fused
+
+    meta = fused_pass_meta(plan, None, in_crop=(c0, size))
+    host = fused_pass_host_arrays(plan, meta, sign=sign, prefix="fq")
+    f = {k: jnp.asarray(v) for k, v in host.items()}
+    fx = fft_plan_arrays(plan)
+    rng = np.random.default_rng(11)
+    re = jnp.asarray(rng.normal(size=(size, m)).astype(np.float32))
+    im = jnp.asarray(rng.normal(size=(size, m)).astype(np.float32))
+
+    ref_r, ref_i = fft_first_axis(re, im, fx, sign=sign, in_crop=(c0, size))
+    got_r, got_i = fft_first_axis_fused(
+        re, im, f, meta=meta, prefix="fq", interpret=True
+    )
+    scale = float(jnp.abs(ref_r).max())
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(ref_r), atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_i), np.asarray(ref_i), atol=2e-5 * scale
+    )
+
+
+def test_fused_fft2_from_image_matches_xla():
+    n, npix = 256, 128
+    crop0 = (n - npix) // 2
+    plan = make_fft_plan(n, shifted=True)
+    from ska_sdp_cip_tpu.ops.fft_pallas import fft2_from_image_fused
+
+    meta = fused_pass_meta(plan, None, in_crop=(crop0, npix))
+    host = fused_pass_host_arrays(plan, meta, sign=-1, prefix="fq")
+    f = {k: jnp.asarray(v) for k, v in host.items()}
+    fx = fft_plan_arrays(plan)
+    rng = np.random.default_rng(12)
+    re = jnp.asarray(rng.normal(size=(npix, npix)).astype(np.float32))
+    im = jnp.asarray(rng.normal(size=(npix, npix)).astype(np.float32))
+
+    r1, i1 = fft_last_axis(re, im, fx, sign=-1, in_crop=(crop0, npix))
+    ref_r, ref_i = fft_first_axis(
+        r1, i1, fx, sign=-1, in_crop=(crop0, npix)
+    )
+    got_r, got_i = fft2_from_image_fused(
+        f, re, im, meta=meta, prefix="fq", interpret=True
+    )
+    scale = float(jnp.abs(ref_r).max())
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(ref_r), atol=5e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_i), np.asarray(ref_i), atol=5e-5 * scale
+    )
