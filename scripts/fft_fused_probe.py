@@ -148,5 +148,91 @@ def main() -> None:
     print(json.dumps(results))
 
 
+def probe_from_image() -> None:
+    """fused vs XLA forward (from-image) 2-D DFT at the same size."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(
+                __import__("pathlib").Path(__file__).parent.parent
+                / ".jax_cache"
+            ),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from ska_sdp_cip_tpu.ops.fft import (
+        fft_first_axis,
+        fft_last_axis,
+        fft_plan_arrays,
+        make_fft_plan,
+    )
+    from ska_sdp_cip_tpu.ops.fft_pallas import (
+        fft2_from_image_fused,
+        fused_pass_host_arrays,
+        fused_pass_meta,
+    )
+
+    n = NGRID
+    npix = 10240 if n in (15360, 20480) else n // 2
+    crop0 = (n - npix) // 2
+    plan = make_fft_plan(n, shifted=True)
+    meta = fused_pass_meta(plan, None, in_crop=(crop0, npix))
+    host = fused_pass_host_arrays(plan, meta, sign=-1, prefix="fq")
+    f = {k: jnp.asarray(v) for k, v in host.items()}
+    fx = fft_plan_arrays(plan)
+
+    rng = np.random.default_rng(2)
+    img_re = jnp.asarray(
+        rng.normal(size=(npix, npix)).astype(np.float32)
+    )
+    img_im = jnp.asarray(
+        rng.normal(size=(npix, npix)).astype(np.float32)
+    )
+
+    def timed(fn):
+        fn_jit = jax.jit(fn)
+        _ = float(np.asarray(fn_jit(img_re, img_im, jnp.float32(0.0))))
+        best = 1e30
+        for k in range(REPEATS):
+            t0 = time.time()
+            _ = float(
+                np.asarray(fn_jit(img_re, img_im, jnp.float32(k + 1.0)))
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 4)
+
+    results = {"ngrid": n, "npix": npix}
+
+    def fused(re, im, seed):
+        re = re * (1.0 + seed * 1e-30)
+        r, i = fft2_from_image_fused(f, re, im, meta=meta, prefix="fq")
+        return r[0, 0] + i[0, 0] + r[n // 2, n // 2]
+
+    results["fused_from_image_s"] = timed(fused)
+    print(f"# fused_from_image: {results['fused_from_image_s']}", flush=True)
+
+    def xla(re, im, seed):
+        re = re * (1.0 + seed * 1e-30)
+        r1, i1 = fft_last_axis(re, im, fx, sign=-1, in_crop=(crop0, npix))
+        r, i = fft_first_axis(r1, i1, fx, sign=-1, in_crop=(crop0, npix))
+        return r[0, 0] + i[0, 0] + r[n // 2, n // 2]
+
+    results["xla_from_image_s"] = timed(xla)
+    print(f"# xla_from_image: {results['xla_from_image_s']}", flush=True)
+    print(json.dumps(results))
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("CIP_PROBE_FROM_IMAGE"):
+        probe_from_image()
+    else:
+        main()

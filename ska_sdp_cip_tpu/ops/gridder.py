@@ -212,15 +212,24 @@ def plan_host_arrays(
             "fft_tw_sin": fft_plan.tw_sin,
         }
     )
-    # Fused-Pallas FFT factors (~0.7 MB) whenever the sizes are
+    # Fused-Pallas FFT factors (~1.5 MB) whenever the sizes are
     # lane-aligned, so a build may select CIP_FFT_IMPL=pallas without
-    # re-staging.
+    # re-staging: "fftp" = invert's inverse transform (out-cropped),
+    # "fftq" = predict's forward transform (in-cropped).
     if plan.ngrid % 128 == 0 and plan.num_pixels % 128 == 0:
         from .fft_pallas import fused_pass_host_arrays
 
         arrays.update(
             fused_pass_host_arrays(
                 fft_plan, _fused_fft_meta(plan), sign=+1, prefix="fftp"
+            )
+        )
+        arrays.update(
+            fused_pass_host_arrays(
+                fft_plan,
+                _fused_fft_meta_ic(plan),
+                sign=-1,
+                prefix="fftq",
             )
         )
     return arrays
@@ -508,6 +517,19 @@ def _fused_fft_meta(plan: GridderPlan):
     )
 
 
+def _fused_fft_meta_ic(plan: GridderPlan):
+    """Static geometry of the fused predict (in-cropped) passes."""
+    from .fft_pallas import fused_pass_meta
+
+    npix = plan.num_pixels
+    crop0 = (plan.ngrid - npix) // 2
+    return fused_pass_meta(
+        make_fft_plan(plan.ngrid, shifted=True),
+        None,
+        in_crop=(crop0, npix),
+    )
+
+
 def _fft2_to_image_fused_t(arrays, grid_re, grid_im, fmeta):
     """
     Fused-Pallas centred inverse 2-D DFT cropped to the image — but
@@ -599,6 +621,8 @@ def build_invert(
     gridder: str | None = None,
     slot_input: bool = False,
     fft_impl: str | None = None,
+    mesh_axis: str | None = None,
+    num_shards: int = 1,
 ):
     """
     Returns a jitted ``invert(arrays, vis_re, vis_im) -> image``
@@ -629,6 +653,86 @@ def build_invert(
         if use_fused_fft:
             return _fft2_to_image_fused_t(arrays, grid_re, grid_im, fmeta)
         return _fft2_to_image(arrays, grid_re, grid_im, crop0, npix)
+
+    # Distributed plane FFT (SURVEY section 7 L4: reduce partial GRIDS,
+    # FFT after the reduction — cheaper than every device FFT-ing a
+    # full replicated grid and reducing images). Per plane, inside
+    # shard_map: psum_scatter the grid into column slabs, local
+    # first-axis pass, all_to_all into row slabs, local second pass —
+    # the FFT FLOPs divide by the mesh size and the collectives ride
+    # ICI. Requires ngrid and npix divisible by num_shards.
+    dist = mesh_axis is not None and num_shards > 1
+    if dist and (N % num_shards or npix % num_shards):
+        raise ValueError(
+            f"distributed FFT needs ngrid={N} and npix={npix} "
+            f"divisible by num_shards={num_shards}"
+        )
+    rows_loc = npix // num_shards if dist else npix
+
+    def first_axis_pass(arrays, re, im):
+        if use_fused_fft:
+            from .fft_pallas import fft_first_axis_fused
+
+            return fft_first_axis_fused(
+                re, im, arrays, meta=fmeta, prefix="fftp",
+                interpret=jax.default_backend() == "cpu",
+            )
+        return fft_first_axis(
+            re, im, arrays, sign=+1, out_crop=(crop0, npix)
+        )
+
+    def plane_contrib(arrays, grid_re, grid_im, w_p, geo):
+        """
+        (N, N) folded plane grids -> this plane's image contribution
+        in the accumulator layout. Replicated mode: (npix, npix)
+        (transposed when the fused FFT defers its final transpose).
+        Distributed mode: a (npix, rows_loc) transposed row-slab of
+        the image; ``geo`` is the matching nm1s slab.
+        """
+        if not dist:
+            img_re, img_im = fft2_image(arrays, grid_re, grid_im)
+            if plan.wstacking:
+                # nm1s is transpose-symmetric, so the fused path's
+                # transposed images accumulate correctly.
+                theta = (-2.0 * np.pi * w_p) * geo
+                return img_re * jnp.cos(theta) - img_im * jnp.sin(theta)
+            return img_re
+        grid_re = lax.psum_scatter(
+            grid_re, mesh_axis, scatter_dimension=1, tiled=True
+        )
+        grid_im = lax.psum_scatter(
+            grid_im, mesh_axis, scatter_dimension=1, tiled=True
+        )
+        a_re, a_im = first_axis_pass(arrays, grid_re, grid_im)
+        a_re = lax.all_to_all(a_re, mesh_axis, 0, 1, tiled=True)
+        a_im = lax.all_to_all(a_im, mesh_axis, 0, 1, tiled=True)
+        b_re, b_im = first_axis_pass(arrays, a_re.T, a_im.T)
+        if plan.wstacking:
+            theta = (-2.0 * np.pi * w_p) * geo
+            return b_re * jnp.cos(theta) - b_im * jnp.sin(theta)
+        return b_re
+
+    def geometry_slabs(inv_corr, nm1s):
+        """Per-device column slabs of the geometry maps (symmetric
+        maps: a column slab equals the transposed row slab)."""
+        if not dist:
+            return inv_corr, nm1s
+        r0 = lax.axis_index(mesh_axis) * rows_loc
+        return (
+            lax.dynamic_slice(inv_corr, (0, r0), (npix, rows_loc)),
+            lax.dynamic_slice(nm1s, (0, r0), (npix, rows_loc)),
+        )
+
+    def finalize_image(image, inv_corr_slab):
+        """Accumulated contributions -> full (npix, npix) image."""
+        image = image * inv_corr_slab
+        if dist:
+            return lax.all_gather(
+                image.T, mesh_axis, axis=0, tiled=True
+            )
+        if use_fused_fft:
+            return image.T
+        return image
 
     if mode.startswith("pallas"):
         from .pallas_gridder import build_grid_planes_pallas
@@ -687,26 +791,18 @@ def build_invert(
                         ].add(part_im)
                 grid_re = _fold_wraps(plan, grid_re)
                 grid_im = _fold_wraps(plan, grid_im)
-                img_re, img_im = fft2_image(arrays, grid_re, grid_im)
-                if plan.wstacking:
-                    # nm1s is transpose-symmetric, so the fused path's
-                    # transposed images accumulate correctly.
-                    theta = (-2.0 * np.pi * w_p) * nm1s
-                    contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(
-                        theta
-                    )
-                else:
-                    contrib = img_re
+                contrib = plane_contrib(
+                    arrays, grid_re, grid_im, w_p, nm1s_s
+                )
                 return image_accum + contrib, None
 
+            inv_corr_s, nm1s_s = geometry_slabs(inv_corr, nm1s)
             image, _ = lax.scan(
                 plane_body,
-                jnp.zeros((npix, npix), jnp.float32),
+                jnp.zeros((npix, rows_loc), jnp.float32),
                 jnp.arange(plan.nplanes),
             )
-            if use_fused_fft:
-                image = image.T
-            return image * inv_corr
+            return finalize_image(image, inv_corr_s)
 
         return invert_pallas
 
@@ -789,23 +885,16 @@ def build_invert(
             grid_re = _fold_wraps(plan, grid_re)
             grid_im = _fold_wraps(plan, grid_im)
             # N^2 * ifft2 == unnormalized inverse DFT (sign=+1)
-            img_re, img_im = fft2_image(arrays, grid_re, grid_im)
-            if plan.wstacking:
-                theta = (-2.0 * np.pi * w_p) * nm1s
-                # Only the real part survives the plane sum
-                contrib = img_re * jnp.cos(theta) - img_im * jnp.sin(theta)
-            else:
-                contrib = img_re
+            contrib = plane_contrib(arrays, grid_re, grid_im, w_p, nm1s_s)
             return image_accum + contrib, None
 
+        inv_corr_s, nm1s_s = geometry_slabs(inv_corr, nm1s)
         image, _ = lax.scan(
             plane_body,
-            jnp.zeros((npix, npix), jnp.float32),
+            jnp.zeros((npix, rows_loc), jnp.float32),
             jnp.arange(plan.nplanes),
         )
-        if use_fused_fft:
-            image = image.T
-        return image * inv_corr
+        return finalize_image(image, inv_corr_s)
 
     return invert
 
@@ -815,6 +904,7 @@ def build_predict(
     *,
     gridder: str | None = None,
     slot_output: bool = False,
+    fft_impl: str | None = None,
 ):
     """
     Returns a jitted ``predict(arrays, image) -> (vis_re, vis_im)``:
@@ -839,6 +929,8 @@ def build_predict(
     num_out = plan.num_vis_data
     num_chunks = _padded_active(plan) // G
     mode = resolve_gridder_mode(gridder)
+    use_fused_fft = resolve_fft_impl(plan, fft_impl) == "pallas"
+    fmeta_ic = _fused_fft_meta_ic(plan) if use_fused_fft else None
 
     degrid_plane = None
     if mode.startswith("pallas"):
@@ -858,9 +950,17 @@ def build_predict(
             img_re = img0
             img_im = jnp.zeros_like(img0)
 
-        grid_re, grid_im = _fft2_from_image(
-            arrays, img_re, img_im, crop0, N
-        )
+        if use_fused_fft:
+            from .fft_pallas import fft2_from_image_fused
+
+            grid_re, grid_im = fft2_from_image_fused(
+                arrays, img_re, img_im, meta=fmeta_ic, prefix="fftq",
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            grid_re, grid_im = _fft2_from_image(
+                arrays, img_re, img_im, crop0, N
+            )
         return _unfold_wraps(plan, grid_re), _unfold_wraps(plan, grid_im)
 
     def _finalize(arrays, acc_re, acc_im):

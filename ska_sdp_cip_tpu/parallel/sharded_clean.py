@@ -89,7 +89,7 @@ def sharded_major_cycle_clean(
     # fft_impl="xla": see parallel/sharded_invert.py — fused-Pallas
     # FFT under shard_map is not yet proven on hardware.
     invert = build_invert(plan0, slot_input=True, fft_impl="xla")
-    predict = build_predict(plan0, slot_output=True)
+    predict = build_predict(plan0, slot_output=True, fft_impl="xla")
     total_weight = staging.total_weight
 
     def unstack(arrays):

@@ -445,6 +445,7 @@ def sharded_invert_dataset(
     gridder: str | None = None,
     sigma: float | str = 2.0,
     fft_impl: str | None = "xla",
+    fft_mode: str = "replicated",
 ) -> np.ndarray:
     """
     Invert a visibility dataset into a normalized Stokes-I dirty image,
@@ -485,11 +486,14 @@ def sharded_invert_dataset(
         sigma=sigma,
     )
     axis_name = staging.axis_name
+    distributed = fft_mode == "distributed"
     invert = build_invert(
         staging.plans[0],
         slot_input=True,
         gridder=gridder,
         fft_impl=fft_impl,
+        mesh_axis=axis_name if distributed else None,
+        num_shards=staging.mesh.devices.size if distributed else 1,
     )
 
     def shard_fn(arrays, vre, vim, wgt):
@@ -498,6 +502,10 @@ def sharded_invert_dataset(
             for key, value in arrays.items()
         }
         image = invert(arrays, vre[0] * wgt[0], vim[0] * wgt[0])
+        if distributed:
+            # Grids were already reduced (psum_scatter) and the image
+            # slabs all_gathered inside the invert.
+            return image
         return jax.lax.psum(image, axis_name)
 
     with step("grid_fft_reduce"):

@@ -186,3 +186,36 @@ def test_fused_fft2_from_image_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got_i), np.asarray(ref_i), atol=5e-5 * scale
     )
+
+
+def test_predict_fused_fft_matches_xla_fft():
+    """
+    Full predict (degrid) with the fused in-cropped forward FFT must
+    match the XLA-FFT predict on the same model image.
+    """
+    from ska_sdp_cip_tpu.io.synth import synthetic_uvw
+    from ska_sdp_cip_tpu.ops.gridder import (
+        build_predict,
+        plan_device_arrays,
+    )
+    from ska_sdp_cip_tpu.ops.plan import make_plan
+
+    rng = np.random.default_rng(8)
+    uvw, _ = synthetic_uvw(4, 10, max_baseline_m=3000.0, seed=5)
+    freqs = np.array([1.0e9, 1.05e9])
+    pixel = float(np.sin(np.radians(40.0 / 3600)))
+    plan = make_plan(uvw, freqs, 128, pixel)
+    arrays = plan_device_arrays(plan)
+    image = jnp.asarray(
+        rng.normal(size=(128, 128)).astype(np.float32)
+    )
+
+    re_x, im_x = build_predict(plan, fft_impl="xla")(arrays, image)
+    re_f, im_f = build_predict(plan, fft_impl="pallas")(arrays, image)
+    scale = float(jnp.abs(re_x).max())
+    np.testing.assert_allclose(
+        np.asarray(re_f), np.asarray(re_x), atol=3e-5 * scale, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(im_f), np.asarray(im_x), atol=3e-5 * scale, rtol=0
+    )

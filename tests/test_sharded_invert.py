@@ -187,3 +187,32 @@ def test_fused_fft_composes_with_shard_map(reader):
         atol=3e-5 * np.abs(xla).max(),
         rtol=0,
     )
+
+
+def test_distributed_fft_matches_replicated(reader):
+    """
+    fft_mode="distributed" (psum_scatter grids -> local axis pass ->
+    all_to_all -> local axis pass; SURVEY section 7 L4) must equal
+    the replicated-FFT sharded invert, which equals local.
+    """
+    mesh = make_device_mesh(8)
+    kwargs = dict(mesh=mesh, row_chunks=2, freq_chunks=4)
+    replicated = sharded_invert_dataset(
+        reader, NUM_PIXELS, PIXEL_SIZE_ASEC, **kwargs
+    )
+    distributed = sharded_invert_dataset(
+        reader,
+        NUM_PIXELS,
+        PIXEL_SIZE_ASEC,
+        fft_mode="distributed",
+        **kwargs,
+    )
+    # Reducing grids BEFORE the FFT reorders f32 sums in the
+    # higher-dynamic-range grid domain: allow 2e-5 (measured: p99.9
+    # ~5e-6, isolated pixels to ~1.5e-5; replicated mode is ~2e-7).
+    np.testing.assert_allclose(
+        distributed,
+        replicated,
+        atol=2 * TOLERANCE * np.abs(replicated).max(),
+        rtol=0,
+    )
