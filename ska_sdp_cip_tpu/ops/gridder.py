@@ -905,6 +905,8 @@ def build_predict(
     gridder: str | None = None,
     slot_output: bool = False,
     fft_impl: str | None = None,
+    mesh_axis: str | None = None,
+    num_shards: int = 1,
 ):
     """
     Returns a jitted ``predict(arrays, image) -> (vis_re, vis_im)``:
@@ -931,6 +933,29 @@ def build_predict(
     mode = resolve_gridder_mode(gridder)
     use_fused_fft = resolve_fft_impl(plan, fft_impl) == "pallas"
     fmeta_ic = _fused_fft_meta_ic(plan) if use_fused_fft else None
+    # Distributed forward FFT (mirror of the invert's fft_mode=
+    # "distributed"): each device transforms only its image-column
+    # slab, an all_to_all re-shards into k-row slabs for the second
+    # pass, and the grid slabs are all_gathered for local degridding —
+    # forward-FFT FLOPs divide by the mesh size.
+    dist = mesh_axis is not None and num_shards > 1
+    if dist and (N % num_shards or npix % num_shards):
+        raise ValueError(
+            f"distributed FFT needs ngrid={N} and npix={npix} "
+            f"divisible by num_shards={num_shards}"
+        )
+
+    def forward_first_pass(arrays, re, im):
+        if use_fused_fft:
+            from .fft_pallas import fft_first_axis_fused
+
+            return fft_first_axis_fused(
+                re, im, arrays, meta=fmeta_ic, prefix="fftq",
+                interpret=jax.default_backend() == "cpu",
+            )
+        return fft_first_axis(
+            re, im, arrays, sign=-1, in_crop=(crop0, npix)
+        )
 
     degrid_plane = None
     if mode.startswith("pallas"):
@@ -950,7 +975,22 @@ def build_predict(
             img_re = img0
             img_im = jnp.zeros_like(img0)
 
-        if use_fused_fft:
+        if dist:
+            cols = npix // num_shards
+            c0_loc = lax.axis_index(mesh_axis) * cols
+            re_s = lax.dynamic_slice(img_re, (0, c0_loc), (npix, cols))
+            im_s = lax.dynamic_slice(img_im, (0, c0_loc), (npix, cols))
+            a_re, a_im = forward_first_pass(arrays, re_s, im_s)
+            a_re = lax.all_to_all(a_re, mesh_axis, 0, 1, tiled=True)
+            a_im = lax.all_to_all(a_im, mesh_axis, 0, 1, tiled=True)
+            b_re, b_im = forward_first_pass(arrays, a_re.T, a_im.T)
+            grid_re = lax.all_gather(
+                b_re.T, mesh_axis, axis=0, tiled=True
+            )
+            grid_im = lax.all_gather(
+                b_im.T, mesh_axis, axis=0, tiled=True
+            )
+        elif use_fused_fft:
             from .fft_pallas import fft2_from_image_fused
 
             grid_re, grid_im = fft2_from_image_fused(

@@ -50,6 +50,7 @@ def sharded_major_cycle_clean(
     psf_patch: int | str | None = "auto",
     sigma: float | str = 2.0,
     checkpoint_dir=None,
+    fft_mode: str = "replicated",
 ) -> tuple:
     """
     Deconvolve a dataset over a device mesh. Returns
@@ -63,7 +64,12 @@ def sharded_major_cycle_clean(
     (models.multiscale's minor cycle on the psum-reduced residual), or
     "fista" (accelerated proximal gradient; ``num_major * minor_iter
     // 10`` iterations, matching the single-device CLI convention).
+    ``fft_mode="distributed"`` shards every plane FFT over the mesh
+    in both directions (see parallel.sharded_invert) — per-cycle FFT
+    FLOPs divide by the mesh size at production grid sizes.
     """
+    if fft_mode not in ("replicated", "distributed"):
+        raise ValueError(f"unknown fft_mode {fft_mode!r}")
     from contextlib import nullcontext
 
     step = recorder.step if recorder is not None else (
@@ -86,10 +92,19 @@ def sharded_major_cycle_clean(
     )
     axis_name = staging.axis_name
     plan0 = staging.plans[0]
+    distributed = fft_mode == "distributed"
+    dist_kwargs = dict(
+        mesh_axis=axis_name if distributed else None,
+        num_shards=staging.mesh.devices.size if distributed else 1,
+    )
     # fft_impl="xla": see parallel/sharded_invert.py — fused-Pallas
     # FFT under shard_map is not yet proven on hardware.
-    invert = build_invert(plan0, slot_input=True, fft_impl="xla")
-    predict = build_predict(plan0, slot_output=True, fft_impl="xla")
+    invert = build_invert(
+        plan0, slot_input=True, fft_impl="xla", **dist_kwargs
+    )
+    predict = build_predict(
+        plan0, slot_output=True, fft_impl="xla", **dist_kwargs
+    )
     total_weight = staging.total_weight
 
     def unstack(arrays):
@@ -98,10 +113,16 @@ def sharded_major_cycle_clean(
             for key, value in arrays.items()
         }
 
+    def reduce_image(image):
+        if distributed:
+            # Grids were psum_scatter-reduced inside the invert.
+            return image / total_weight
+        return jax.lax.psum(image, axis_name) / total_weight
+
     def dirty_fn(arrays, vre, vim, wgt):
         arrays = unstack(arrays)
         image = invert(arrays, vre[0] * wgt[0], vim[0] * wgt[0])
-        return jax.lax.psum(image, axis_name) / total_weight
+        return reduce_image(image)
 
     def psf_fn(arrays, wgt):
         # Unit data visibilities in slot order are the staged w-shift
@@ -112,7 +133,7 @@ def sharded_major_cycle_clean(
             wgt[0] * arrays["phase_cos"],
             wgt[0] * arrays["phase_sin"],
         )
-        return jax.lax.psum(image, axis_name) / total_weight
+        return reduce_image(image)
 
     def residual_of(arrays, vre, vim, wgt, dup_a, dup_b, model):
         """Exact residual image at ``model``, entirely in slot space
@@ -125,10 +146,7 @@ def sharded_major_cycle_clean(
         )
         res_re = (vre - model_re) * wgt
         res_im = (vim - model_im) * wgt
-        return (
-            jax.lax.psum(invert(arrays, res_re, res_im), axis_name)
-            / total_weight
-        )
+        return reduce_image(invert(arrays, res_re, res_im))
 
     if algorithm not in ("hogbom", "multiscale", "fista"):
         raise ValueError(f"Unknown deconvolution algorithm {algorithm!r}")

@@ -190,3 +190,34 @@ def test_sharded_unknown_algorithm_raises(dataset_path):
             mesh=make_device_mesh(8),
             algorithm="nope",
         )
+
+
+def test_sharded_clean_distributed_fft_matches_replicated(dataset_path):
+    """fft_mode="distributed" major cycle == replicated (shallow)."""
+    reader = VisibilityReader(dataset_path)
+    kwargs = dict(
+        num_major=2,
+        gain=0.3,
+        minor_iter=6,
+        mesh=make_device_mesh(8),
+        row_chunks=2,
+        freq_chunks=4,
+        epsilon=1e-4,
+    )
+    model_rep, residual_rep, _ = sharded_major_cycle_clean(
+        reader, NUM_PIXELS, PIXEL_SIZE_ASEC, **kwargs
+    )
+    model_dist, residual_dist, _ = sharded_major_cycle_clean(
+        reader,
+        NUM_PIXELS,
+        PIXEL_SIZE_ASEC,
+        fft_mode="distributed",
+        **kwargs,
+    )
+    scale = np.abs(residual_rep).max()
+    np.testing.assert_allclose(
+        model_dist, model_rep, atol=2e-4 * scale
+    )
+    np.testing.assert_allclose(
+        residual_dist, residual_rep, atol=2e-3 * scale
+    )
