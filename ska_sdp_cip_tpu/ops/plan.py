@@ -669,10 +669,19 @@ def make_plan(
     min_blocks: int = 1,
     min_active: int = 1,
     min_planes: int = 1,
+    w_range: tuple | None = None,
 ) -> GridderPlan:
     """
     Build a :class:`GridderPlan` for visibilities ``uvw`` (nrow, 3) in
     meters at ``channel_frequencies`` (nchan,) Hz.
+
+    ``w_range=(wmin, wmax)`` overrides the |w| extent (in wavelengths,
+    AFTER the w >= 0 conjugation flip) used for the w-plane grid.
+    Sharded callers summing plane GRIDS across shards (the
+    distributed-FFT invert) MUST pass the global range so every shard
+    bins onto the identical plane set — per-shard w origins differ,
+    and plane-p grids from different origins must never be added.
+    The override must cover this shard's own range.
 
     ``sigma`` is the uv-grid oversampling factor; ``"auto"`` picks it
     from a grid-vs-gridding cost model (:func:`resolve_sigma`) — FFT-
@@ -716,6 +725,15 @@ def make_plan(
         w = np.where(flip, -w, w)
         wmin = float(w.min()) if num_vis else 0.0
         wmax = float(w.max()) if num_vis else 0.0
+
+    if w_range is not None:
+        gmin, gmax = float(w_range[0]), float(w_range[1])
+        if num_vis and (gmin > wmin + 1e-9 or gmax < wmax - 1e-9):
+            raise ValueError(
+                f"w_range {w_range} does not cover this shard's "
+                f"|w| range ({wmin}, {wmax})"
+            )
+        wmin, wmax = gmin, gmax
 
     # --- w-plane setup -------------------------------------------------
     nm1_min = nm1_min_of(num_pixels, pixel_size_lm)

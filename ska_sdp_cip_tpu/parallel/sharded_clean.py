@@ -89,6 +89,7 @@ def sharded_major_cycle_clean(
         robust=robust,
         step=step,
         sigma=sigma,
+        common_w_grid=(fft_mode == "distributed"),
     )
     axis_name = staging.axis_name
     plan0 = staging.plans[0]

@@ -159,6 +159,7 @@ def stage_sharded_inputs(
     robust: float = 0.0,
     step=None,
     sigma: float | str = 2.0,
+    common_w_grid: bool = False,
 ) -> ShardedStaging:
     """
     Partition, load, plan, and stage a dataset onto a device mesh:
@@ -167,7 +168,11 @@ def stage_sharded_inputs(
 
     ``sigma="auto"`` resolves ONE oversampling factor for the whole
     mesh (global visibility count + allgathered w range), since every
-    shard must plan the identical grid.
+    shard must plan the identical grid. ``common_w_grid=True``
+    additionally forces every shard onto the GLOBAL w-plane grid
+    (allgathered |w| range passed as each plan's ``w_range``) —
+    required by the distributed-FFT modes, which sum plane GRIDS
+    across shards and need plane p to mean the same w everywhere.
     """
     from contextlib import nullcontext
 
@@ -237,10 +242,11 @@ def stage_sharded_inputs(
             * reader.num_channels
             // max(num_devices, 1)
         )
-        if sigma == "auto":
-            # One global sigma: global vis count + allgathered w range
-            # (each process sees only its shards' w extent).
-            from ..ops.plan import nm1_min_of, resolve_sigma, w_range
+        global_w = None
+        if sigma == "auto" or common_w_grid:
+            # Allgathered |w| range (each process sees only its own
+            # shards' extent).
+            from ..ops.plan import w_range
 
             local_whi = 0.0
             for shard in shards.values():
@@ -261,10 +267,14 @@ def stage_sharded_inputs(
             global_wlo = -float(
                 _allgather_max(np.asarray([-local_wlo]))[0]
             )
+            global_w = (global_wlo, global_whi)
+        if sigma == "auto":
+            from ..ops.plan import nm1_min_of, resolve_sigma
+
             sigma = resolve_sigma(
                 reader.num_data_rows * reader.num_channels,
                 num_pixels,
-                w_extent=global_whi - global_wlo,
+                w_extent=global_w[1] - global_w[0],
                 nm1_min=nm1_min_of(num_pixels, pixel_size_lm),
                 epsilon=epsilon,
                 do_wstacking=do_wstacking,
@@ -279,6 +289,7 @@ def stage_sharded_inputs(
                 do_wstacking=do_wstacking,
                 block=block,
                 sigma=sigma,
+                w_range=global_w if common_w_grid else None,
             )
             for index, shard in shards.items()
         }
@@ -463,9 +474,20 @@ def sharded_invert_dataset(
     fused Pallas FFT is measured under shard_map on hardware —
     the composition itself is proven in interpret mode
     (tests/test_sharded_invert.py::test_fused_fft_composes_with_
-    shard_map).
+    shard_map). ``fft_mode="distributed"`` reduces the partial GRIDS
+    (psum_scatter into column slabs) and runs each FFT axis pass
+    locally with an all_to_all between them — the SURVEY section 7
+    L4 design: per-device FFT FLOPs divide by the mesh size instead
+    of every device transforming a full replicated grid; requires
+    ngrid and npix divisible by the mesh size. All shards then plan
+    on the GLOBAL w-plane grid (``common_w_grid``) so plane p means
+    the same w everywhere.
     """
     from contextlib import nullcontext
+
+    if fft_mode not in ("replicated", "distributed"):
+        raise ValueError(f"unknown fft_mode {fft_mode!r}")
+    distributed = fft_mode == "distributed"
 
     step = recorder.step if recorder is not None else (
         lambda name: nullcontext()
@@ -484,9 +506,9 @@ def sharded_invert_dataset(
         robust=robust,
         step=step,
         sigma=sigma,
+        common_w_grid=distributed,
     )
     axis_name = staging.axis_name
-    distributed = fft_mode == "distributed"
     invert = build_invert(
         staging.plans[0],
         slot_input=True,

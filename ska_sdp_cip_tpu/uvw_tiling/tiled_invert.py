@@ -159,6 +159,7 @@ def sharded_invert_tile_chunks(
     mesh=None,
     epsilon: float = 1e-4,
     do_wstacking: bool = True,
+    fft_mode: str = "replicated",
 ) -> np.ndarray:
     """
     Distributed invert straight from the tile store: chunk files are
@@ -168,6 +169,8 @@ def sharded_invert_tile_chunks(
     reorder stage's output feeds the production gridder without
     re-binning through the original dataset (SURVEY.md section 7.3-4).
     Numerically equivalent to the dataset invert at gridder accuracy.
+    ``fft_mode="distributed"`` reduces grids and shards the plane
+    FFTs over the mesh (see parallel.sharded_invert).
     """
     import jax
     from jax.sharding import PartitionSpec as P
@@ -203,12 +206,34 @@ def sharded_invert_tile_chunks(
 
     total_vis = sum(_tile_chunk_num_vis(path) for path in paths)
     block = auto_block(total_vis // max(num_devices, 1))
-    plans = {}
-    samples = {}
-    for index in addressable_shard_indices(mesh):
-        uvw_scaled, vis, weights = _scaled_tile_samples(
+    distributed = fft_mode == "distributed"
+    local_ids = addressable_shard_indices(mesh)
+    scaled = {
+        index: _scaled_tile_samples(
             groups[index], channel_frequencies, ref_freq
         )
+        for index in local_ids
+    }
+    global_w = None
+    if distributed:
+        # Distributed FFT sums plane GRIDS across shards: all shards
+        # must bin onto the global w-plane grid (tiles have disjoint
+        # |w| ranges, so per-shard origins would differ badly here).
+        from ..ops.plan import w_range
+        from ..parallel.sharded_invert import _allgather_max
+
+        ref = np.array([ref_freq])
+        his = [
+            w_range(s[0], ref)[1] for s in scaled.values()
+        ] or [0.0]
+        los = [w_range(s[0], ref)[0] for s in scaled.values()] or [0.0]
+        ghi = float(_allgather_max(np.asarray([max(his)]))[0])
+        glo = -float(_allgather_max(np.asarray([-min(los)]))[0])
+        global_w = (glo, ghi)
+    plans = {}
+    samples = {}
+    for index in local_ids:
+        uvw_scaled, vis, weights = scaled[index]
         plans[index] = make_plan(
             uvw_scaled,
             np.array([ref_freq]),
@@ -217,11 +242,17 @@ def sharded_invert_tile_chunks(
             epsilon=epsilon,
             do_wstacking=do_wstacking,
             block=block,
+            w_range=global_w,
         )
         samples[index] = (vis, weights)
 
     staging = stage_planned_shards(mesh, plans, samples)
-    invert = build_invert(staging.plans[0], slot_input=True)
+    invert = build_invert(
+        staging.plans[0],
+        slot_input=True,
+        mesh_axis=axis_name if distributed else None,
+        num_shards=mesh.devices.size if distributed else 1,
+    )
 
     def shard_fn(arrays, vre, vim, wgt):
         arrays = {
@@ -229,6 +260,8 @@ def sharded_invert_tile_chunks(
             for key, value in arrays.items()
         }
         image = invert(arrays, vre[0] * wgt[0], vim[0] * wgt[0])
+        if distributed:
+            return image
         return jax.lax.psum(image, axis_name)
 
     spmd = jax.jit(

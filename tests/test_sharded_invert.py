@@ -207,12 +207,11 @@ def test_distributed_fft_matches_replicated(reader):
         fft_mode="distributed",
         **kwargs,
     )
-    # Reducing grids BEFORE the FFT reorders f32 sums in the
-    # higher-dynamic-range grid domain: allow 2e-5 (measured: p99.9
-    # ~5e-6, isolated pixels to ~1.5e-5; replicated mode is ~2e-7).
+    # With the global w-plane grid (common_w_grid) the distributed
+    # reduction is measured equal to the replicated mode to ~2e-7.
     np.testing.assert_allclose(
         distributed,
         replicated,
-        atol=2 * TOLERANCE * np.abs(replicated).max(),
-        rtol=0,
+        atol=TOLERANCE * np.abs(replicated).max(),
+        rtol=TOLERANCE,
     )

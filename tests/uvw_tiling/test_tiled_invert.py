@@ -87,3 +87,44 @@ def test_sharded_tiled_invert_matches_dataset(dataset_path, tmp_path):
         atol=tolerance * np.abs(direct).max() * 10,
         rtol=1e-3,
     )
+
+
+def test_sharded_tiled_invert_distributed_fft(dataset_path, tmp_path):
+    """Tile store -> sharded gridder with fft_mode="distributed"."""
+    from ska_sdp_cip_tpu.parallel.mesh import make_device_mesh
+    from ska_sdp_cip_tpu.uvw_tiling.tiled_invert import (
+        sharded_invert_tile_chunks,
+    )
+
+    reader = VisibilityReader(dataset_path)
+    outdir = tmp_path / "tiles"
+    paths = reorder_by_uvw_tile(
+        reader,
+        (3000.0, 3000.0, 6000.0),
+        outdir,
+        num_time_intervals=3,
+        max_vis_per_chunk=10_000,
+        max_workers=2,
+    )
+    kwargs = dict(mesh=make_device_mesh(4), epsilon=1e-5)
+    replicated = sharded_invert_tile_chunks(
+        paths,
+        reader.channel_frequencies(),
+        NUM_PIXELS,
+        pixel_size_lm_from_asec(PIXEL_SIZE_ASEC),
+        **kwargs,
+    )
+    distributed = sharded_invert_tile_chunks(
+        paths,
+        reader.channel_frequencies(),
+        NUM_PIXELS,
+        pixel_size_lm_from_asec(PIXEL_SIZE_ASEC),
+        fft_mode="distributed",
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        distributed,
+        replicated,
+        atol=1e-5 * np.abs(replicated).max(),
+        rtol=1e-5,
+    )
