@@ -4,8 +4,10 @@ One-shot MSv2 -> VZ ingest converter.
 The TPU framework reads its native VZ columnar store on the hot path;
 casacore MeasurementSets are supported only at this ingest boundary
 (design per SURVEY.md section 2b: casacore stays strictly at ingest).
-Requires python-casacore; conversion streams row blocks so arbitrarily
-large MeasurementSets convert in bounded memory.
+Reads through python-casacore when installed, else through the
+casacore-free native reader (io/casacore_tables.py); conversion
+streams row blocks so arbitrarily large MeasurementSets convert in
+bounded memory.
 """
 
 from __future__ import annotations

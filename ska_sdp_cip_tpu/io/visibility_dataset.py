@@ -9,8 +9,9 @@ TPU-native replacement for the reference's casacore-backed
   layout — one ``.npy`` file per column plus ``metadata.json``. Windowed
   reads are zero-copy memory-mapped slices; this is the hot-path format
   and what MSv2 data is converted into at the ingest boundary.
-* **MSv2** (casacore MeasurementSet): supported only when
-  ``python-casacore`` is installed (a gated import, mirroring the
+* **MSv2** (casacore MeasurementSet): read through python-casacore
+  when installed, else through the casacore-free native reader
+  (io/casacore_tables.py) — (the gated import mirrors the
   reference's hard dependency at measurement_set.py:8). Used for ingest
   and for drop-in compatibility.
 

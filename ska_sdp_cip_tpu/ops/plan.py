@@ -704,7 +704,16 @@ def make_plan(
     if block is None:
         block = auto_block(num_vis)
 
-    patch_x, patch_y = DEFAULT_PATCH_X, DEFAULT_PATCH_Y
+    # Patch height is a perf knob: the ES factor build and the patch
+    # matmul cost scale with patch_x, while smaller patches mean more
+    # tile columns (more strip sentinels, lower block fill).
+    # CIP_PATCH_X overrides for hardware A/B (multiple of 8, > W).
+    patch_x = int(
+        __import__("os").environ.get("CIP_PATCH_X", DEFAULT_PATCH_X)
+    )
+    patch_y = DEFAULT_PATCH_Y
+    if patch_x % 8 or patch_x < 16:
+        raise ValueError("CIP_PATCH_X must be a multiple of 8, >= 16")
 
     if use_native:
         # Native engine computes per-sample arrays later in one fused

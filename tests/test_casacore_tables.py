@@ -263,3 +263,94 @@ def test_golden_fixture_columns(tmp_path):
         want = np.load(iolib.BytesIO(base64.b64decode(b64)))
         got = tbl.getcol(name)
         np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def _write_fake_ms(ms_path: Path) -> dict:
+    """A miniature MSv2-shaped table tree in the documented format."""
+    rng = np.random.default_rng(21)
+    nrow, nchan = 12, 3
+    uvw = rng.normal(size=(nrow, 3))
+    time = 5e9 + np.arange(nrow, dtype=float)
+    data = (
+        rng.normal(size=(nrow, nchan, 4))
+        + 1j * rng.normal(size=(nrow, nchan, 4))
+    ).astype(np.complex64)
+    flag = rng.random((nrow, nchan, 4)) < 0.2
+    wspec = rng.uniform(0.5, 2.0, (nrow, nchan, 4)).astype(np.float32)
+    chan_freq = np.linspace(1.0e9, 1.1e9, nchan)
+    corr = np.array([9, 10, 11, 12], np.int32)
+
+    _write_fake_table(
+        ms_path,
+        [
+            ("UVW", TP_DOUBLE, True, (3,), 5, uvw),
+            ("TIME", TP_DOUBLE, False, (), 0, time),
+            ("DATA", TP_COMPLEX, True, (4, nchan), 0, data),
+            ("FLAG", TP_BOOL, True, (4, nchan), 0, flag),
+            ("WEIGHT_SPECTRUM", TP_FLOAT, True, (4, nchan), 0, wspec),
+        ],
+        nrow,
+    )
+    from ska_sdp_cip_tpu.io.casacore_tables import TP_INT
+
+    _write_fake_table(
+        ms_path / "SPECTRAL_WINDOW",
+        [
+            ("CHAN_FREQ", TP_DOUBLE, True, (nchan,), 0, chan_freq[None]),
+            ("NUM_CHAN", TP_INT, False, (), 0, np.array([nchan])),
+        ],
+        1,
+    )
+    _write_fake_table(
+        ms_path / "POLARIZATION",
+        [
+            ("CORR_TYPE", TP_INT, True, (4,), 0, corr[None]),
+            ("NUM_CORR", TP_INT, False, (), 0, np.array([4])),
+        ],
+        1,
+    )
+    _write_fake_table(
+        ms_path / "FIELD",
+        [("SOURCE_ID", TP_INT, False, (), 0, np.zeros(1, np.int32))],
+        1,
+    )
+    return {
+        "uvw": uvw,
+        "time": time,
+        "data": data,
+        "flag": flag,
+        "weight_spectrum": wspec,
+        "chan_freq": chan_freq,
+    }
+
+
+def test_ms_to_vz_without_casacore(tmp_path, monkeypatch):
+    """
+    The full MSv2 -> VZ ingest runs with python-casacore ABSENT,
+    through the native reader (SURVEY 2b row 2's acceptance:
+    'ms_to_vz works with python-casacore absent').
+    """
+    import sys
+
+    monkeypatch.setitem(sys.modules, "casacore", None)
+    monkeypatch.setitem(sys.modules, "casacore.tables", None)
+
+    ms_path = tmp_path / "native.ms"
+    truth = _write_fake_ms(ms_path)
+
+    from ska_sdp_cip_tpu.io.ms_ingest import ms_to_vz
+    from ska_sdp_cip_tpu.io.visibility_dataset import VisibilityReader
+
+    vz = ms_to_vz(ms_path, tmp_path / "native.vz")
+    reader = VisibilityReader(vz)
+    np.testing.assert_array_equal(reader.uvw(), truth["uvw"])
+    np.testing.assert_array_equal(
+        reader.visibilities(), truth["data"]
+    )
+    np.testing.assert_array_equal(reader.flags(), truth["flag"])
+    np.testing.assert_array_equal(
+        reader.weights(), truth["weight_spectrum"]
+    )
+    np.testing.assert_array_equal(
+        reader.channel_frequencies(), truth["chan_freq"]
+    )
