@@ -45,14 +45,20 @@ from .kernels import (
 
 SPEED_OF_LIGHT = 299792458.0
 
-#: Patch shape in grid cells: sublane axis x lane axis. Both are one
-#: register tile (128): patch origins are 128-aligned on the lane axis
-#: (TPU memory tiling), and visibilities whose lane footprint straddles
-#: a 128-cell window boundary are DUPLICATED into both windows (the ES
-#: kernel zeroes out-of-window cells automatically), so the gridding
-#: contraction never pays for a second 128-lane MXU chunk. The straddle
-#: fraction is (support - 1) / 128 ~ 4% extra slots.
-DEFAULT_PATCH_X = 128
+#: Patch shape in grid cells: sublane axis x lane axis. The lane axis
+#: stays one register tile (128): patch origins are 128-aligned on it
+#: and visibilities whose lane footprint straddles a 128-cell window
+#: boundary are DUPLICATED into both windows (the ES kernel zeroes
+#: out-of-window cells automatically), so the gridding contraction
+#: never pays for a second 128-lane MXU chunk (straddle fraction
+#: (support - 1) / 128 ~ 4% extra slots). The SUBLANE height is a
+#: tradeoff: the ES factor build and the patch matmul scale with
+#: patch_x while only ~support rows per visibility are nonzero, and
+#: shorter patches mean more tile columns (more strip sentinels,
+#: lower block fill). Measured on the 5.8M-vis bench (one v5e,
+#: support 6): 128 -> 54.7, 64 -> 67.9, 48 -> 70.6, 40 -> 70.4,
+#: 32 -> 69.9 Mvis/s. CIP_PATCH_X overrides.
+DEFAULT_PATCH_X = 48
 DEFAULT_PATCH_Y = 128
 
 #: Visibilities per block: the contraction length of the per-block
@@ -714,6 +720,11 @@ def make_plan(
     patch_y = DEFAULT_PATCH_Y
     if patch_x % 8 or patch_x < 16:
         raise ValueError("CIP_PATCH_X must be a multiple of 8, >= 16")
+    support_bound = kernel_support_for_epsilon(
+        epsilon, 2.0 if sigma == "auto" else float(sigma)
+    )
+    # Keep at least one 8-row tile column under the patch overhang.
+    patch_x = max(patch_x, ((support_bound + 8 + 7) // 8) * 8)
 
     if use_native:
         # Native engine computes per-sample arrays later in one fused
