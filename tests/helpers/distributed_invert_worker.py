@@ -14,7 +14,7 @@ single-process 8-device mesh never touches: ``initialize_distributed``,
 
 Usage (spawned by tests/test_distributed_multiprocess.py):
     python distributed_invert_worker.py <pid> <nproc> <port> \
-        <dataset> <out.npy> <npix> <pixel_asec>
+        <dataset> <out.npy> <npix> <pixel_asec> [fft_mode]
 """
 
 import os
@@ -29,6 +29,7 @@ def main() -> None:
     out_path = sys.argv[5]
     npix = int(sys.argv[6])
     pixel_asec = float(sys.argv[7])
+    fft_mode = sys.argv[8] if len(sys.argv) > 8 else "replicated"
 
     # One CPU device per process; must be set before jax initializes.
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -55,7 +56,7 @@ def main() -> None:
     )
 
     image = sharded_invert_dataset(
-        VisibilityReader(dataset), npix, pixel_asec
+        VisibilityReader(dataset), npix, pixel_asec, fft_mode=fft_mode
     )
     if pid == 0:
         np.save(out_path, image)

@@ -83,3 +83,59 @@ def test_two_process_invert_matches_local(reader, dataset_path, tmp_path):
         rtol=eps,
         atol=eps * np.abs(local).max(),
     )
+
+
+def test_two_process_distributed_fft_matches_local(
+    reader, dataset_path, tmp_path
+):
+    """
+    fft_mode="distributed" across 2 REAL processes: psum_scatter,
+    all_to_all, and all_gather run over gloo process boundaries (the
+    in-process mesh cannot exercise these cross-process paths).
+    """
+    local = invert_dataset(reader, NUM_PIXELS, PIXEL_SIZE_ASEC)
+
+    out_path = tmp_path / "distributed_fft.npy"
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                str(WORKER),
+                str(pid),
+                "2",
+                str(port),
+                str(dataset_path),
+                str(out_path),
+                str(NUM_PIXELS),
+                str(PIXEL_SIZE_ASEC),
+                "distributed",
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for proc in procs:
+        stdout, _ = proc.communicate(timeout=600)
+        outputs.append(stdout.decode(errors="replace"))
+    for proc, output in zip(procs, outputs):
+        assert proc.returncode == 0, (
+            f"worker failed (rc={proc.returncode}):\n{output}"
+        )
+
+    distributed = np.load(out_path)
+    eps = 1e-5
+    np.testing.assert_allclose(
+        distributed,
+        local,
+        atol=eps * np.abs(local).max(),
+        rtol=eps,
+    )
