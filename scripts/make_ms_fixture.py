@@ -106,6 +106,48 @@ def main() -> None:
 
     # Golden dumps read back THROUGH casacore (not the arrays above),
     # so storage-manager round-trip quirks are part of the truth.
+    # A second variant binding DATA/FLAG/WEIGHT_SPECTRUM to
+    # TiledColumnStMan — the layout real observatory MSs use — to
+    # validate the native reader's TSM cube decode.
+    tsm_path = outdir / "mini_tsm.ms"
+    dminfo = {
+        "*1": {
+            "TYPE": "TiledColumnStMan",
+            "NAME": "TiledData",
+            "SPEC": {"DEFAULTTILESHAPE": [4, NUM_CHANNELS, 8]},
+            "COLUMNS": ["DATA"],
+        },
+        "*2": {
+            "TYPE": "TiledColumnStMan",
+            "NAME": "TiledFlag",
+            "SPEC": {"DEFAULTTILESHAPE": [4, NUM_CHANNELS, 8]},
+            "COLUMNS": ["FLAG"],
+        },
+    }
+    with default_ms(
+        str(tsm_path),
+        maketabdesc(
+            [
+                makearrcoldesc(
+                    "DATA", 0.0 + 0j, shape=[NUM_CHANNELS, 4]
+                ),
+                makearrcoldesc(
+                    "WEIGHT_SPECTRUM", 0.0, shape=[NUM_CHANNELS, 4]
+                ),
+            ]
+        ),
+        dminfo,
+    ) as ms:
+        ms.addrows(NUM_ROWS)
+        ms.putcol("UVW", uvw)
+        ms.putcol("TIME", time_col)
+        ms.putcol("DATA", data)
+        ms.putcol("FLAG", flag)
+        ms.putcol("WEIGHT", weight)
+        ms.putcol("WEIGHT_SPECTRUM", weight_spectrum)
+    with tarfile.open(outdir / "mini_tsm.ms.tar.gz", "w:gz") as tar:
+        tar.add(tsm_path, arcname="mini_tsm.ms")
+
     with table(str(ms_path), readonly=True, ack=False) as ms:
         golden = {
             "num_rows": NUM_ROWS,

@@ -16,9 +16,11 @@ ingest needs (SURVEY 2b row 2):
                       cells in the aux array file.
 * subtable directories (SPECTRAL_WINDOW, POLARIZATION, FIELD, ...).
 
-IncrementalStMan and the TiledStMan family are detected and rejected
-with a clear error (real observatory MSs that bind them must be
-ingested where python-casacore is available, for now).
+TiledColumnStMan hypercubes (the manager real observatory MSs bind
+for DATA/FLAG) decode through :class:`TSMFile`; IncrementalStMan and
+TiledShapeStMan are detected and rejected with a clear error (MSs
+binding those must be ingested where python-casacore is available,
+for now).
 
 Format ground truth
 -------------------
@@ -284,6 +286,13 @@ class CasacoreTable:
         binding = self._binding_for(name)
         if binding.kind == "StandardStMan":
             reader = SSMFile(
+                self.path / f"table.f{binding.seqnr}",
+                self.num_rows,
+                binding,
+            )
+            return reader.read_column(desc)
+        if binding.kind == "TiledColumnStMan":
+            reader = TSMFile(
                 self.path / f"table.f{binding.seqnr}",
                 self.num_rows,
                 binding,
@@ -831,6 +840,142 @@ def _slab_spec(desc: ColumnDesc) -> tuple[bool, int]:
             f"column {desc.name}"
         )
     return False, dtype.itemsize * nitems
+
+
+class TSMFile:
+    """
+    TiledColumnStMan cube file pair: ``table.f<seq>`` holds the
+    AipsIO header (tile shape, endianness) and ``table.f<seq>_TSM0``
+    the raw hypercube of one fixed-shape column, stored as a
+    Fortran-ordered grid of Fortran-ordered tiles over
+    ``cellShape + (nrows,)`` (tables/DataMan/TSMCube.cc). Bools are
+    bit-packed per tile. Real observatory MSs bind this manager for
+    DATA/FLAG; byte-level agreement is asserted by the
+    ingest-casacore CI job on a TSM-bound fixture variant.
+    """
+
+    def __init__(
+        self, path: Path, num_rows: int, binding: DataManagerBinding
+    ):
+        self.path = path
+        self.num_rows = num_rows
+        self.binding = binding
+        if len(binding.column_descs) != 1:
+            raise CasacoreFormatError(
+                "TiledColumnStMan instance with "
+                f"{len(binding.column_descs)} columns (expected one "
+                f"per instance): {binding.columns}"
+            )
+        self._parse_header()
+
+    def _parse_header(self) -> None:
+        data = self.path.read_bytes()
+        probe = _TableDatParser(data, self.path)
+        # The header frames the concrete manager type; the tile shape
+        # is the first IPosition whose rank is one more than the cell
+        # rank (cellShape + row axis).
+        if not (
+            probe._frame_at(0, b"TiledColumnStMan")
+            or probe._frame_at(4, b"TiledColumnStMan")
+            or data.find(b"TiledColumnStMan") >= 0
+        ):
+            raise CasacoreFormatError(
+                f"no 'TiledColumnStMan' header frame in {self.path}"
+            )
+        desc = self.binding.column_descs[0]
+        want_rank = len(desc.shape) + 1
+        marker = struct.pack(">I", 9) + b"IPosition"
+        pos = data.find(marker)
+        tile_shape: tuple[int, ...] | None = None
+        while pos >= 4:
+            try:
+                io = AipsIOReader(data, pos - 4)
+                shape = io.get_iposition()
+                if len(shape) == want_rank and all(
+                    1 <= d <= 1_000_000 for d in shape
+                ):
+                    tile_shape = shape
+                    break
+            except CasacoreFormatError:
+                pass
+            pos = data.find(marker, pos + 1)
+        if tile_shape is None:
+            raise CasacoreFormatError(
+                f"no rank-{want_rank} tile-shape IPosition in "
+                f"{self.path} header"
+            )
+        self.tile_shape = tile_shape  # casacore order (fastest first)
+
+    def read_column(self, desc: ColumnDesc) -> np.ndarray:
+        cube_path = self.path.with_name(self.path.name + "_TSM0")
+        if not cube_path.exists():
+            raise CasacoreFormatError(
+                f"missing TSM cube file {cube_path}"
+            )
+        raw = cube_path.read_bytes()
+        cell = tuple(desc.shape)  # casacore order (fastest first)
+        cube_shape = cell + (self.num_rows,)
+        tile = self.tile_shape
+        ntiles = [
+            -(-cube_shape[a] // tile[a]) for a in range(len(tile))
+        ]
+        is_bool = desc.value_type == TP_BOOL
+        if is_bool:
+            tile_items = int(np.prod(tile))
+            tile_bytes = (tile_items + 7) // 8
+        else:
+            dtype = _DTYPES.get(desc.value_type)
+            if dtype is None:
+                raise CasacoreFormatError(
+                    f"unsupported TSM value type {desc.value_type} "
+                    f"for column {desc.name}"
+                )
+            tile_items = int(np.prod(tile))
+            tile_bytes = tile_items * dtype.itemsize
+        total_tiles = int(np.prod(ntiles))
+        if len(raw) < total_tiles * tile_bytes:
+            raise CasacoreFormatError(
+                f"TSM cube {cube_path} holds {len(raw)} bytes; "
+                f"{total_tiles} tiles of {tile_bytes} expected"
+            )
+        # Padded cube shape in numpy (row-major) axis order: reversed
+        # casacore order, tile grid Fortran-ordered over the cube.
+        out_padded = np.empty(
+            tuple(n * t for n, t in zip(ntiles, tile))[::-1],
+            bool if is_bool else dtype,
+        )
+        rev_tile = tile[::-1]
+        for flat in range(total_tiles):
+            # Fortran order: first axis fastest.
+            rem, coords = flat, []
+            for n in ntiles:
+                coords.append(rem % n)
+                rem //= n
+            off = flat * tile_bytes
+            if is_bool:
+                bits = np.unpackbits(
+                    np.frombuffer(
+                        raw, np.uint8, count=tile_bytes, offset=off
+                    ),
+                    bitorder="little",
+                )
+                vals = bits[:tile_items].astype(bool)
+            else:
+                vals = np.frombuffer(
+                    raw, dtype, count=tile_items, offset=off
+                )
+            block = vals.reshape(rev_tile)  # Fortran cell -> reversed C
+            idx = tuple(
+                slice(c * t, (c + 1) * t)
+                for c, t in zip(coords[::-1], rev_tile)
+            )
+            out_padded[idx] = block
+        # Trim padding; numpy axes are (row, cell...) after reversal.
+        trim = tuple(slice(0, s) for s in cube_shape[::-1])
+        out = out_padded[trim]
+        if not is_bool and out.dtype.byteorder == ">":
+            out = out.astype(out.dtype.newbyteorder("="))
+        return np.ascontiguousarray(out)
 
 
 class ISMFile:

@@ -354,3 +354,66 @@ def test_ms_to_vz_without_casacore(tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         reader.channel_frequencies(), truth["chan_freq"]
     )
+
+
+def test_read_tiled_column(tmp_path):
+    """TiledColumnStMan cube decode (self-consistent fixture)."""
+    rng = np.random.default_rng(6)
+    nrow, nchan = 10, 5
+    data = (
+        rng.normal(size=(nrow, nchan, 4))
+        + 1j * rng.normal(size=(nrow, nchan, 4))
+    ).astype(np.complex64)
+    # Main table frame binds DATA to a TiledColumnStMan instance.
+    path = tmp_path / "tsm.tbl"
+    _write_fake_table(path, [], nrow)  # writes table.dat scaffold
+
+    # Overwrite table.dat with a DATA column bound to TSM.
+    cols = _column_desc_frame(
+        "DATA", TP_COMPLEX, True, (4, nchan), "TiledColumnStMan", 5
+    )
+    desc = _Writer()
+    desc.frame("TableDesc", 1, bytes(cols))
+    tab = _Writer()
+    tab.uint(nrow)
+    tab.uint(0)
+    tab.string("fake")
+    tab.buf += desc.buf
+    top = _Writer()
+    top.frame("Table", 2, bytes(tab.buf))
+    (path / "table.dat").write_bytes(bytes(top.buf))
+
+    # TSM header: manager frame + tile-shape IPosition (casacore
+    # order, cell + row axis), tile (4, nchan, 4 rows).
+    tile = (4, nchan, 4)
+    hdr = _Writer()
+    hp = _Writer()
+    ip = _Writer()
+    ip.uint(len(tile))
+    for d in tile:
+        ip.buf += struct.pack(">q", d)
+    ipf = _Writer()
+    ipf.frame("IPosition", 2, bytes(ip.buf))
+    hp.buf += ipf.buf
+    hdr.frame("TiledColumnStMan", 1, bytes(hp.buf))
+    (path / "table.f0").write_bytes(bytes(hdr.buf))
+
+    # Cube: Fortran grid of Fortran tiles over (4, nchan, nrow).
+    cube = np.zeros((4, nchan, nrow), np.complex64)
+    cube[...] = np.transpose(data, (2, 1, 0))
+    ntiles = [1, 1, -(-nrow // tile[2])]
+    blob = bytearray()
+    padded = np.zeros(
+        (4, nchan, ntiles[2] * tile[2]), np.complex64
+    )
+    padded[:, :, :nrow] = cube
+    for tz in range(ntiles[2]):
+        block = padded[:, :, tz * tile[2] : (tz + 1) * tile[2]]
+        blob += (
+            block.ravel(order="F").astype(">c8").tobytes()
+        )
+    (path / "table.f0_TSM0").write_bytes(bytes(blob))
+
+    tbl = read_table(path)
+    got = tbl.getcol("DATA")
+    np.testing.assert_array_equal(got, data)
