@@ -14,10 +14,11 @@ program consumes:
   no-alias band;
 * scatter domain tiling — visibilities are binned to rectangular uv
   tiles whose patch origins satisfy the TPU's memory tiling: the
-  sublane axis uses tile_x = 120 cells (origins divisible by 8, patch
-  128), the lane axis tile_y = 128 cells (origins divisible by 128,
-  patch 256). Each visibility's W-cell footprint lies inside one
-  static (128, 256) patch.
+  sublane axis uses tile_x = patch_x - roundup(support) cells
+  (origins divisible by 8; patch_x defaults to 48, see
+  DEFAULT_PATCH_X), the lane axis tile_y = 128 cells (origins
+  divisible by 128). Each visibility's W-cell footprint lies inside
+  one static (patch_x, 128) patch.
 * block-slot layout — visibilities are sorted by (tile, w-plane bin)
   and re-packed so block ``b`` occupies exactly slots
   ``[b*B, (b+1)*B)`` (zero-padded): every DMA offset in the Pallas

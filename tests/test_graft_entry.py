@@ -13,7 +13,7 @@ def test_entry_runs():
 
     fn, args = graft.entry()
     out = fn(*args)
-    assert out.shape == (64, 64)
+    assert out.shape == (128, 128)
     assert float(abs(out).max()) > 0
 
 
