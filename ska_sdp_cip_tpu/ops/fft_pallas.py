@@ -187,7 +187,8 @@ def fused_pass_host_arrays(
     next to the other plan arrays). Sign is folded into the factors
     so the kernel itself is sign-free:
 
-    * ``{prefix}_m1_hi/lo``: (2n1, 2n1) stage-1 block [[C,-sS],[sS,C]]
+    * ``{prefix}_m1_hi/lo``: (2n1, 2n1i) stage-1 block
+      [[C,-sS],[sS,C]] (j1 columns sliced to the in-crop window)
     * ``{prefix}_twc/tws``: (NC, n1, C, 1) twiddle cos / sign*sin
     * ``{prefix}_m2_hi/lo``: (QB, NC, 2QS, 2C) transposed stage-2
       block [[C2^T, -sS2^T], [sS2^T, C2^T]] per (q-block, j2-chunk),

@@ -219,3 +219,21 @@ def test_predict_fused_fft_matches_xla_fft():
     np.testing.assert_allclose(
         np.asarray(im_f), np.asarray(im_x), atol=3e-5 * scale, rtol=0
     )
+
+
+def test_resolve_fft_impl_validation():
+    from ska_sdp_cip_tpu.io.synth import synthetic_uvw
+    from ska_sdp_cip_tpu.ops.gridder import resolve_fft_impl
+    from ska_sdp_cip_tpu.ops.plan import make_plan
+
+    uvw, _ = synthetic_uvw(2, 8, max_baseline_m=2000.0, seed=3)
+    freqs = np.array([1.0e9])
+    pixel = float(np.sin(np.radians(40.0 / 3600)))
+    plan = make_plan(uvw, freqs, 100, pixel)  # npix not lane-aligned
+
+    assert resolve_fft_impl(plan, "xla") == "xla"
+    assert resolve_fft_impl(plan, "auto") == "xla"  # misaligned/CPU
+    with pytest.raises(ValueError, match="multiples of 128"):
+        resolve_fft_impl(plan, "pallas")
+    with pytest.raises(ValueError, match="unknown"):
+        resolve_fft_impl(plan, "nope")
