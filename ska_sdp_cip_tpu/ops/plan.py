@@ -113,6 +113,10 @@ MAX_SEG_WIDTH = 4864
 #: PREFETCH_DEPTH block-steps ahead into NUM_IN_BUFFERS slots, hiding
 #: DMA latency behind several steps of compute (a one-step lookahead
 #: left the MXU stalling on ~us DMA latency each ~0.3 us step).
+# NOTE: the step tables pack the in-buffer slot in 3 bits
+# (build_step_tables aux encoding), so NUM_IN_BUFFERS cannot exceed 8
+# without a table format change (a 16-deep experiment faulted the
+# kernel).
 NUM_IN_BUFFERS = 8
 PREFETCH_DEPTH = 6
 
