@@ -1,12 +1,11 @@
 """
 Probe four-step factor ORDER at the production grid size.
 
-The 20480 = n1 x n2 split is currently (128, 160); the last-axis pass
-then works on (b, j, 160) blocks whose 160-lane minor pads to 2x128
-tiles. This times fft_last_axis for (128, 160) vs (160, 128) and a
-couple of alternates to see whether lane-tile padding explains the gap
-between the measured per-plane FFT (~134 ms) and its MAC+HBM floor
-(~40 ms). Scalar-fold timing per bench.py rules.
+Times the XLA matmul-FFT axis passes for several n1 x n2 factor
+orders (measured on the v5e at 20480^2: order moves a pass by ~10%,
+(80, 256) best). Superseded for production by the fused Pallas pass
+(ops/fft_pallas.py, scripts/fft_fused_sweep.py); kept for XLA-path
+regression checks. Scalar-fold timing per bench.py rules.
 """
 
 import json
