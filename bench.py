@@ -23,6 +23,7 @@ numbers.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -109,8 +110,11 @@ def main() -> None:
     warmup_seconds = time.time() - t_warm
 
     t_plan = time.time()
+    sigma_env = os.environ.get("CIP_SIGMA", "2.0")
+    sigma = sigma_env if sigma_env == "auto" else float(sigma_env)
     plan = make_plan(
-        uvw, freqs, NUM_PIXELS, pixel_size_lm, epsilon=EPSILON
+        uvw, freqs, NUM_PIXELS, pixel_size_lm, epsilon=EPSILON,
+        sigma=sigma,
     )
     arrays = plan_device_arrays(plan)
     _ = float(np.asarray(arrays["packed"][0, 0]))  # force transfers

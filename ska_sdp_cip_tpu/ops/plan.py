@@ -590,13 +590,16 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
 
 
 #: Measured per-unit costs on one v5e chip feeding the sigma cost
-#: model: gridding ~3e-9 s per (visibility x active plane) at W~6-8
-#: (bench: 5.8M vis, 9 planes, 0.122 s invert, gridder-dominant);
-#: per-plane grid passes ~3e-10 s per cell (production: 20480^2,
-#: 9 planes, 1.54 s, FFT-dominant). Only their RATIO matters for the
-#: choice, so modest hardware drift does not flip it.
-SIGMA_COST_GRID_PER_VIS_PLANE = 3e-9
-SIGMA_COST_FFT_PER_CELL_PLANE = 3e-10
+#: model, recalibrated to the round-3 kernels (48-row patches, fused
+#: Pallas FFT): gridding ~1.7e-9 s per (visibility x active plane) at
+#: W~6-8 (bench: 5.8M vis x 6 planes-per-vis in 0.058 s of gridding);
+#: plane FFT ~3.3e-10 s per cell (fused fft2 83 ms at 15360^2). Only
+#: their RATIO matters for the choice, so modest hardware drift does
+#: not flip it; cross-checked by measurement: the 5.8M-vis bench runs
+#: 70.6 Mvis/s at sigma 2.0 vs 65.8 at 1.5 (model picks 2.0), the
+#: 258k-vis production config is FFT-dominated (model picks 1.5).
+SIGMA_COST_GRID_PER_VIS_PLANE = 1.7e-9
+SIGMA_COST_FFT_PER_CELL_PLANE = 3.3e-10
 
 #: Oversampling candidates for sigma="auto": 2.0 (smallest support,
 #: best for visibility-dominated work) and 1.5 (44% smaller padded
