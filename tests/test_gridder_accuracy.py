@@ -94,11 +94,13 @@ def test_resolve_sigma_regimes():
         resolve_sigma(258_000, 10240, w_extent=5000.0, nm1_min=nm1)
         == 1.5
     )
-    # Bench config: 5.8M vis on a 2048-px image
+    # Bench config: 5.8M vis on a 2048-px image with the actual bench
+    # w extent (~3000 wavelengths at 7.7 km baselines). Measured on
+    # chip: sigma 2.0 runs 70.6 Mvis/s vs 65.8 at 1.5 there.
     nm1_small = nm1_min_of(2048, float(np.sin(np.radians(5.0 / 3600))))
     assert (
         resolve_sigma(
-            5_800_000, 2048, w_extent=5000.0, nm1_min=nm1_small
+            5_800_000, 2048, w_extent=3000.0, nm1_min=nm1_small
         )
         == 2.0
     )
