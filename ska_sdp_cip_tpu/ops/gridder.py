@@ -648,8 +648,21 @@ def build_invert(
     use_fused_fft = resolve_fft_impl(plan, fft_impl) == "pallas"
     fmeta = _fused_fft_meta(plan) if use_fused_fft else None
 
+    # CIP_ABLATE=nofft: TIMING-ONLY knob producing WRONG images — the
+    # plane FFT is replaced by a slice so on-chip benchmarks can read
+    # the gridding-vs-FFT split of the invert without editing kernels.
+    # Never set in production; results are garbage by construction.
+    ablate_nofft = (
+        __import__("os").environ.get("CIP_ABLATE") == "nofft"
+    )
+
     def fft2_image(arrays, grid_re, grid_im):
         """Plane FFT; fused path returns the image TRANSPOSED."""
+        if ablate_nofft:
+            return (
+                grid_re[:npix, :npix],
+                grid_im[:npix, :npix],
+            )
         if use_fused_fft:
             return _fft2_to_image_fused_t(arrays, grid_re, grid_im, fmeta)
         return _fft2_to_image(arrays, grid_re, grid_im, crop0, npix)
