@@ -148,6 +148,40 @@ def main() -> None:
     with tarfile.open(outdir / "mini_tsm.ms.tar.gz", "w:gz") as tar:
         tar.add(tsm_path, arcname="mini_tsm.ms")
 
+    # A third variant binding IncrementalStMan for the slowly-varying
+    # scalars (TIME/UVW/WEIGHT), the way CASA-written observatory MSs
+    # do. The native reader does not decode ISM yet; this artifact
+    # exists so ISM support can be developed offline against real
+    # format bytes (check into tests/data/ alongside the others).
+    ism_path = outdir / "mini_ism.ms"
+    ism_dminfo = {
+        "*1": {
+            "TYPE": "IncrementalStMan",
+            "NAME": "ISMData",
+            "SPEC": {},
+            "COLUMNS": ["TIME", "UVW", "WEIGHT"],
+        },
+    }
+    with default_ms(
+        str(ism_path),
+        maketabdesc(
+            [
+                makearrcoldesc(
+                    "DATA", 0.0 + 0j, shape=[NUM_CHANNELS, 4]
+                ),
+            ]
+        ),
+        ism_dminfo,
+    ) as ms:
+        ms.addrows(NUM_ROWS)
+        ms.putcol("UVW", uvw)
+        ms.putcol("TIME", time_col)
+        ms.putcol("DATA", data)
+        ms.putcol("FLAG", flag)
+        ms.putcol("WEIGHT", weight)
+    with tarfile.open(outdir / "mini_ism.ms.tar.gz", "w:gz") as tar:
+        tar.add(ism_path, arcname="mini_ism.ms")
+
     with table(str(ms_path), readonly=True, ack=False) as ms:
         golden = {
             "num_rows": NUM_ROWS,
