@@ -6,7 +6,7 @@ one chip — w-stacked invert at epsilon=1e-4 over MeerKAT-scale
 baselines — and prints a JSON line with memory/shape/time detail.
 
 At this size the padded grid is 20480^2 and one plane's split alloc is
-~3.5 GB; the lane-segmented strip kernels (ops/plan.py MAX_SEG_WIDTH)
+~3.5 GB; the lane-segmented strip kernels (ops/plan.py max_seg_width)
 keep VMEM bounded, and the plane-at-a-time structure keeps HBM at a
 few planes' footprint rather than nplanes x 3.5 GB.
 """

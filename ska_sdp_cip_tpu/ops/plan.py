@@ -105,9 +105,23 @@ def auto_block(num_vis: int) -> int:
         return 256
     return DEFAULT_BLOCK
 
-#: Maximum strip-buffer width in lanes (owned lanes + patch overhang):
-#: four (128, width) f32 buffers must fit the ~16 MB VMEM.
-MAX_SEG_WIDTH = 4864
+#: Strip-buffer VMEM budget: the kernels keep four
+#: (patch_x, seg_width) f32 buffers resident, which must fit inside
+#: the ~16 MB VMEM next to the input/output rings.
+_SEG_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def max_seg_width(patch_x: int) -> int:
+    """
+    Maximum strip-buffer width in lanes (owned lanes + patch
+    overhang) for the given patch height, floored to a lane tile.
+    At the historical 128-row patches this evaluates to the
+    measured-safe 4992; shorter patches afford proportionally wider
+    strips (fewer lane segments, fewer per-plane kernel calls and
+    seam adds on production-size grids).
+    """
+    width = _SEG_BUDGET_BYTES // (4 * patch_x * 4)
+    return max(128, (width // 128) * 128)
 
 #: Input-DMA pipeline of the strip kernels: per-block data is fetched
 #: PREFETCH_DEPTH block-steps ahead into NUM_IN_BUFFERS slots, hiding
@@ -843,8 +857,9 @@ def make_plan(
     # chip's ~16 MB VMEM. Wide (production) grids run in several
     # segments, seam-added by the gridder.
     overhang = patch_y - tile_y
+    seg_cap = max_seg_width(patch_x)
     num_y_segments = max(
-        1, -(-(nalloc_y - overhang) // (MAX_SEG_WIDTH - overhang))
+        1, -(-(nalloc_y - overhang) // (seg_cap - overhang))
     )
     seg_lanes = (
         -(-(nalloc_y - overhang) // num_y_segments) + 127

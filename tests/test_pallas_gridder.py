@@ -93,7 +93,7 @@ def test_pallas_segmented_matches_xla(apply_w, monkeypatch):
     """
     from ska_sdp_cip_tpu.ops import plan as plan_mod
 
-    monkeypatch.setattr(plan_mod, "MAX_SEG_WIDTH", 128)
+    monkeypatch.setattr(plan_mod, "max_seg_width", lambda patch_x: 128)
 
     rng = np.random.default_rng(53)
     uvw, _ = synthetic_uvw(3, 10, max_baseline_m=5000.0, seed=47)
