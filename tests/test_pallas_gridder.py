@@ -194,3 +194,39 @@ def test_auto_block_thresholds():
     assert auto_block(2_000_000) == 256
     assert auto_block(4_500_000) == 512
     assert auto_block(6_000_000) == 1024
+
+
+def test_patch_height_env_override(monkeypatch):
+    """CIP_PATCH_X reaches the plan; clamps below the support need."""
+    from ska_sdp_cip_tpu.ops import plan as plan_mod
+
+    rng = np.random.default_rng(11)
+    uvw, _ = synthetic_uvw(2, 8, max_baseline_m=2000.0, seed=9)
+    freqs = np.array([1.0e9])
+    pix = float(np.sin(np.radians(40.0 / 3600)))
+
+    monkeypatch.setenv("CIP_PATCH_X", "64")
+    plan = make_plan(uvw, freqs, 64, pix, epsilon=1e-4)
+    assert plan.patch_x == 64
+
+    monkeypatch.setenv("CIP_PATCH_X", "16")
+    plan = make_plan(uvw, freqs, 64, pix, epsilon=1e-5)
+    # epsilon=1e-5 needs support 7-10; 16 rows cannot hold the
+    # footprint plus one 8-row tile column, so the plan clamps up.
+    assert plan.patch_x >= plan.support + 8
+
+    monkeypatch.setenv("CIP_PATCH_X", "20")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        make_plan(uvw, freqs, 64, pix)
+
+
+def test_max_seg_width_budget():
+    """Strip budget: four (patch_x, width) f32 buffers <= ~10 MiB."""
+    from ska_sdp_cip_tpu.ops.plan import _SEG_BUDGET_BYTES, max_seg_width
+
+    for patch_x in (32, 48, 64, 128):
+        width = max_seg_width(patch_x)
+        assert width % 128 == 0
+        assert 4 * patch_x * width * 4 <= _SEG_BUDGET_BYTES
+        # and maximal: one more lane tile would bust the budget
+        assert 4 * patch_x * (width + 128) * 4 > _SEG_BUDGET_BYTES
