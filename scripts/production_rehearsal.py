@@ -31,6 +31,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+# Run as a bare script: sys.path[0] is scripts/, not the repo root, so
+# the package is only importable if pip-installed — bootstrap instead.
+sys.path.insert(0, str(REPO))
 
 
 def main() -> None:

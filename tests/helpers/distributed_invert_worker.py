@@ -19,6 +19,11 @@ Usage (spawned by tests/test_distributed_multiprocess.py):
 
 import os
 import sys
+from pathlib import Path
+
+# Spawned as a bare script: the repo root is not on sys.path unless the
+# package is pip-installed, so bootstrap it from this file's location.
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 
 def main() -> None:
