@@ -395,7 +395,7 @@ int64_t cip_slot_plan_build(
     const double* uvw, int64_t nrow, const double* freqs, int64_t nchan,
     double inv_du, int64_t ngrid, int64_t support, int64_t tile_x,
     int64_t tile_y, int64_t ntiles_y, int wstacking, double w0_plane,
-    double inv_dw, int64_t nbins, int64_t block) {
+    double inv_dw, int64_t nbins, int64_t block, int64_t bin_group) {
     PhaseTimer timer;
     auto* plan = new SlotPlan();
     const int64_t n = nrow * nchan;
@@ -589,14 +589,44 @@ int64_t cip_slot_plan_build(
     const int64_t ngroups = (int64_t)group_starts.size();
     timer.mark("group_sort");
 
-    // (tile, wbin)-pure blocks of at most `block` slots per group.
-    std::vector<int64_t> group_nb(ngroups + 1, 0);
-    for (int64_t g = 0; g < ngroups; ++g) {
-        int64_t gend = (g + 1 < ngroups) ? group_starts[g + 1] : ns;
-        group_nb[g + 1] =
-            group_nb[g] + (gend - group_starts[g] + block - 1) / block;
+    // Merge consecutive (tile, wbin) groups whose bins fall in the
+    // same bin_group-sized window: a block may then span up to
+    // bin_group adjacent w-bins (plane window support + bin_group - 1
+    // planes instead of support), trading a few extra plane visits
+    // for proportionally fewer, longer kernel block-steps — the ES
+    // kernel's w factor is exactly zero on planes outside a sample's
+    // own support window, so correctness is unchanged. Samples remain
+    // bin-sorted inside a merged group (the sort key keeps fine
+    // bins), so per-block [bin_lo, bin_hi] stays exact: the bins of
+    // the block's first and last slot.
+    const int64_t bg = std::max<int64_t>(bin_group, 1);
+    std::vector<int64_t> m_first;  // merged group -> first fine group
+    m_first.reserve(ngroups + 1);
+    {
+        int64_t prev_mkey = -1;
+        for (int64_t g = 0; g < ngroups; ++g) {
+            const int64_t k = group_keys[g];
+            const int64_t mkey =
+                (k / nbins) * nbins + (k % nbins) / bg;
+            if (mkey != prev_mkey) {
+                m_first.push_back(g);
+                prev_mkey = mkey;
+            }
+        }
+        m_first.push_back(ngroups);
     }
-    const int64_t nb = group_nb[ngroups];
+    const int64_t nmerged = (int64_t)m_first.size() - 1;
+
+    std::vector<int64_t> group_nb(nmerged + 1, 0);
+    for (int64_t m = 0; m < nmerged; ++m) {
+        const int64_t mstart = group_starts[m_first[m]];
+        const int64_t mend =
+            (m_first[m + 1] < ngroups) ? group_starts[m_first[m + 1]]
+                                       : ns;
+        group_nb[m + 1] =
+            group_nb[m] + (mend - mstart + block - 1) / block;
+    }
+    const int64_t nb = group_nb[nmerged];
     plan->num_blocks = nb;
     plan->start_sorted.reset(nb);
     plan->blen.reset(nb);
@@ -604,25 +634,35 @@ int64_t cip_slot_plan_build(
     plan->boy.reset(nb);
     plan->bin_lo.reset(nb);
     plan->bin_hi.reset(nb);
-    parallel_for(ngroups, [&](int, int64_t gb, int64_t ge) {
-        for (int64_t g = gb; g < ge; ++g) {
-            const int64_t gstart = group_starts[g];
-            const int64_t gend =
-                (g + 1 < ngroups) ? group_starts[g + 1] : ns;
-            const int64_t k = group_keys[g];
-            const int64_t tid = k / nbins;
-            const int32_t bin = (int32_t)(k % nbins);
+    parallel_for(nmerged, [&](int, int64_t mb, int64_t me) {
+        for (int64_t m = mb; m < me; ++m) {
+            const int64_t glo = m_first[m];
+            const int64_t ghi = m_first[m + 1];
+            const int64_t mstart = group_starts[glo];
+            const int64_t mend =
+                (ghi < ngroups) ? group_starts[ghi] : ns;
+            const int64_t tid = group_keys[glo] / nbins;
             const int32_t ox = (int32_t)((tid / ntiles_y) * tile_x);
             const int32_t oy = (int32_t)((tid % ntiles_y) * tile_y);
-            int64_t bidx = group_nb[g];
-            for (int64_t s = gstart; s < gend; s += block, ++bidx) {
+            int64_t bidx = group_nb[m];
+            int64_t sub = glo;  // fine group of the block's first slot
+            for (int64_t s = mstart; s < mend; s += block, ++bidx) {
+                const int64_t len =
+                    std::min<int64_t>(block, mend - s);
+                while (sub + 1 < ghi && group_starts[sub + 1] <= s)
+                    ++sub;
+                int64_t sub_hi = sub;
+                while (sub_hi + 1 < ghi &&
+                       group_starts[sub_hi + 1] <= s + len - 1)
+                    ++sub_hi;
                 plan->start_sorted[bidx] = s;
-                plan->blen[bidx] =
-                    (int32_t)std::min<int64_t>(block, gend - s);
+                plan->blen[bidx] = (int32_t)len;
                 plan->box[bidx] = ox;
                 plan->boy[bidx] = oy;
-                plan->bin_lo[bidx] = bin;
-                plan->bin_hi[bidx] = bin;
+                plan->bin_lo[bidx] =
+                    (int32_t)(group_keys[sub] % nbins);
+                plan->bin_hi[bidx] =
+                    (int32_t)(group_keys[sub_hi] % nbins);
             }
         }
     });

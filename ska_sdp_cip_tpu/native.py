@@ -70,7 +70,7 @@ def _declare(lib) -> None:
     lib.cip_slot_plan_build.argtypes = [
         dp, ct.c_int64, dp, ct.c_int64, ct.c_double, ct.c_int64,
         ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int,
-        ct.c_double, ct.c_double, ct.c_int64, ct.c_int64,
+        ct.c_double, ct.c_double, ct.c_int64, ct.c_int64, ct.c_int64,
     ]
     lib.cip_slot_plan_build.restype = ct.c_int64
     lib.cip_slot_plan_sizes.argtypes = [ct.c_int64, i64p]
@@ -180,6 +180,7 @@ def build_slot_plan(
     dw: float,
     num_bins: int,
     block: int,
+    bin_group: int = 1,
     min_blocks: int = 1,
     pad_order: int = 0,
     phase_factor: float = 0.0,
@@ -211,6 +212,7 @@ def build_slot_plan(
         ctypes.c_double(1.0 / dw),
         num_bins,
         block,
+        max(int(bin_group), 1),
     )
     try:
         nb = ctypes.c_int64()

@@ -105,6 +105,54 @@ def auto_block(num_vis: int) -> int:
         return 256
     return DEFAULT_BLOCK
 
+
+def auto_bin_group(num_vis: int) -> int:
+    """
+    Number of adjacent w-data-bins a block may span. Grouping ``g``
+    bins widens each block's w-plane window from ``support`` to
+    ``support + g - 1`` planes (the ES w-factor is exactly zero on the
+    extra visits — correctness is unchanged) while the accompanying
+    ``g``-times-longer blocks cut the per-visibility block-step count
+    by ``(support + g - 1) / (g * support)`` — 7/12 at g=2 for
+    support 6. Per-step overhead (decode, DMA bookkeeping, issue) is
+    the largest single term of the measured gridding budget (see
+    docs/src/performance.rst headroom analysis), so fewer, longer
+    steps win despite the extra MXU/ES work, PROVIDED groups are big
+    enough to fill the longer blocks — grouping only pays on dense
+    workloads. Override with ``CIP_WBIN_GROUP`` (>= 1).
+    """
+    import os
+
+    env = os.environ.get("CIP_WBIN_GROUP")
+    if env:
+        group = int(env)
+        if group < 1:
+            raise ValueError("CIP_WBIN_GROUP must be >= 1")
+        return group
+    if num_vis >= 4_000_000:
+        return 2
+    return 1
+
+
+def auto_block_and_group(num_vis: int) -> tuple[int, int]:
+    """
+    (block, bin_group) for a shard of ``num_vis`` samples: the grouped
+    layout only pays if blocks are also ``bin_group`` times longer
+    (fill at ``g*B`` inside g-bin groups matches fill at ``B`` inside
+    single-bin groups, so the per-visibility step count drops by
+    ``(support + g - 1) / (g * support)``). ``CIP_BLOCK`` pins the
+    block size exactly; ``CIP_WBIN_GROUP`` pins the group.
+    Sharded callers must derive BOTH from the global per-device count
+    so every shard plans the same static program shape.
+    """
+    import os
+
+    group = auto_bin_group(num_vis)
+    block = auto_block(num_vis)
+    if group > 1 and not os.environ.get("CIP_BLOCK"):
+        block = min(block * group, 4096)
+    return block, group
+
 #: Strip-buffer VMEM budget: the kernels keep four
 #: (patch_x, seg_width) f32 buffers resident, which must fit inside
 #: the ~16 MB VMEM next to the input/output rings.
@@ -694,6 +742,7 @@ def make_plan(
     do_wstacking: bool = True,
     sigma: float | str = 2.0,
     block: int | None = None,
+    bin_group: int | None = None,
     min_blocks: int = 1,
     min_active: int = 1,
     min_planes: int = 1,
@@ -729,8 +778,17 @@ def make_plan(
 
     num_vis = len(uvw) * len(freqs)
     use_native = _native.available() and num_vis > 0
+    if bin_group is None:
+        bin_group = auto_bin_group(num_vis)
+    bin_group = max(int(bin_group), 1)
     if block is None:
+        import os as _os
+
         block = auto_block(num_vis)
+        if bin_group > 1 and not _os.environ.get("CIP_BLOCK"):
+            # Grouped blocks only pay if they are also longer (see
+            # auto_block_and_group).
+            block = min(block * bin_group, 4096)
 
     # Patch height is a perf knob: the ES factor build and the patch
     # matmul cost scale with patch_x, while smaller patches mean more
@@ -890,6 +948,7 @@ def make_plan(
             dw=dw,
             num_bins=num_bins,
             block=block,
+            bin_group=bin_group,
             min_blocks=min_blocks,
             pad_order=num_vis,
             # Slot staging applies the w-shift pre-phase only when
@@ -963,10 +1022,14 @@ def make_plan(
         # (``order`` maps slots to source samples, with duplicates).
         num_sorted = len(order)
         if num_sorted:
+            # Group boundaries at (tile, wbin // bin_group) changes:
+            # a block may span bin_group adjacent w-bins (its exact
+            # [bin_lo, bin_hi] window is still read off the bin-sorted
+            # first/last slots below) — see auto_bin_group.
             boundaries = (
                 np.flatnonzero(
                     (np.diff(tile_sorted) != 0)
-                    | (np.diff(wbin_sorted) != 0)
+                    | (np.diff(wbin_sorted // bin_group) != 0)
                 )
                 + 1
             )

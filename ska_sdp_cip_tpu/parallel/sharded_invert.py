@@ -232,12 +232,13 @@ def stage_sharded_inputs(
                 shard.flags = np.zeros_like(shard.flags)
 
     with step("plan_shards"):
-        # Shard plans must agree on the block size (pad_plans_uniform
-        # unifies them into one SPMD program), so derive it from the
-        # global per-shard visibility count, not each shard's own.
-        from ..ops.plan import auto_block
+        # Shard plans must agree on the block size and w-bin grouping
+        # (pad_plans_uniform unifies them into one SPMD program), so
+        # derive them from the global per-shard visibility count, not
+        # each shard's own.
+        from ..ops.plan import auto_block_and_group
 
-        block = auto_block(
+        block, bin_group = auto_block_and_group(
             reader.num_data_rows
             * reader.num_channels
             // max(num_devices, 1)
@@ -288,6 +289,7 @@ def stage_sharded_inputs(
                 epsilon=epsilon,
                 do_wstacking=do_wstacking,
                 block=block,
+                bin_group=bin_group,
                 sigma=sigma,
                 w_range=global_w if common_w_grid else None,
             )

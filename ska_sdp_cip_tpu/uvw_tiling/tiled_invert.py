@@ -200,12 +200,15 @@ def sharded_invert_tile_chunks(
         loads[device] += path.stat().st_size
 
     ref_freq = float(np.max(np.asarray(channel_frequencies)))
-    # Shard plans must agree on the block size (they are padded into
-    # one SPMD program); derive it from the average per-device load.
-    from ..ops.plan import auto_block
+    # Shard plans must agree on the block size and w-bin grouping
+    # (they are padded into one SPMD program); derive them from the
+    # average per-device load.
+    from ..ops.plan import auto_block_and_group
 
     total_vis = sum(_tile_chunk_num_vis(path) for path in paths)
-    block = auto_block(total_vis // max(num_devices, 1))
+    block, bin_group = auto_block_and_group(
+        total_vis // max(num_devices, 1)
+    )
     distributed = fft_mode == "distributed"
     local_ids = addressable_shard_indices(mesh)
     scaled = {
@@ -242,6 +245,7 @@ def sharded_invert_tile_chunks(
             epsilon=epsilon,
             do_wstacking=do_wstacking,
             block=block,
+            bin_group=bin_group,
             w_range=global_w,
         )
         samples[index] = (vis, weights)
