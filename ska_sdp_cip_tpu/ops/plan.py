@@ -108,18 +108,21 @@ def auto_block(num_vis: int) -> int:
 
 def auto_bin_group(num_vis: int) -> int:
     """
-    Number of adjacent w-data-bins a block may span. Grouping ``g``
-    bins widens each block's w-plane window from ``support`` to
-    ``support + g - 1`` planes (the ES w-factor is exactly zero on the
-    extra visits — correctness is unchanged) while the accompanying
-    ``g``-times-longer blocks cut the per-visibility block-step count
-    by ``(support + g - 1) / (g * support)`` — 7/12 at g=2 for
-    support 6. Per-step overhead (decode, DMA bookkeeping, issue) is
-    the largest single term of the measured gridding budget (see
-    docs/src/performance.rst headroom analysis), so fewer, longer
-    steps win despite the extra MXU/ES work, PROVIDED groups are big
-    enough to fill the longer blocks — grouping only pays on dense
-    workloads. Override with ``CIP_WBIN_GROUP`` (>= 1).
+    Number of adjacent w-data-bins a block may span. Grouping bins
+    merges each uv-tile's per-bin slot groups, so blocks quantize
+    against bigger groups and the padded-slot count drops — and since
+    the kernel's cost is dominated by a per-SLOT-VISIT term (measured
+    on chip: ~1.26 ms per million B-slot plane-visits vs only
+    ~0.29 us per block-step; see docs/src/performance.rst), the fill
+    gain at a fixed block size is what pays. The ES w-factor is
+    exactly zero on the (at most ``g - 1``) extra plane visits a
+    multi-bin block incurs, so accuracy is unchanged. Measured sweep
+    on the 5.8M-vis bench (B=1024 slot-visits): g=1 47.5M, g=2 44.4M,
+    g=3 43.7M, g>=4 saturates at 43.7M (tiles rarely span more bins).
+    NOTE: do NOT also lengthen the block — g=2 with B=2048 measured
+    69.0 Mvis/s vs 70.6 at g=1/B=1024 (the fill loss of longer blocks
+    outweighs the step saving). Override with ``CIP_WBIN_GROUP``
+    (>= 1).
     """
     import os
 
@@ -129,29 +132,22 @@ def auto_bin_group(num_vis: int) -> int:
         if group < 1:
             raise ValueError("CIP_WBIN_GROUP must be >= 1")
         return group
-    if num_vis >= 4_000_000:
-        return 2
+    if num_vis >= 1_500_000:
+        return 4
     return 1
 
 
 def auto_block_and_group(num_vis: int) -> tuple[int, int]:
     """
-    (block, bin_group) for a shard of ``num_vis`` samples: the grouped
-    layout only pays if blocks are also ``bin_group`` times longer
-    (fill at ``g*B`` inside g-bin groups matches fill at ``B`` inside
-    single-bin groups, so the per-visibility step count drops by
-    ``(support + g - 1) / (g * support)``). ``CIP_BLOCK`` pins the
-    block size exactly; ``CIP_WBIN_GROUP`` pins the group.
-    Sharded callers must derive BOTH from the global per-device count
-    so every shard plans the same static program shape.
+    (block, bin_group) for a shard of ``num_vis`` samples. The block
+    size is NOT scaled with the group — the measured optimum keeps
+    auto_block's size and takes the grouping purely as a fill gain
+    (see :func:`auto_bin_group`). ``CIP_BLOCK`` pins the block size
+    exactly; ``CIP_WBIN_GROUP`` pins the group. Sharded callers must
+    derive BOTH from the global per-device count so every shard plans
+    the same static program shape.
     """
-    import os
-
-    group = auto_bin_group(num_vis)
-    block = auto_block(num_vis)
-    if group > 1 and not os.environ.get("CIP_BLOCK"):
-        block = min(block * group, 4096)
-    return block, group
+    return auto_block(num_vis), auto_bin_group(num_vis)
 
 #: Strip-buffer VMEM budget: the kernels keep four
 #: (patch_x, seg_width) f32 buffers resident, which must fit inside
@@ -782,13 +778,7 @@ def make_plan(
         bin_group = auto_bin_group(num_vis)
     bin_group = max(int(bin_group), 1)
     if block is None:
-        import os as _os
-
         block = auto_block(num_vis)
-        if bin_group > 1 and not _os.environ.get("CIP_BLOCK"):
-            # Grouped blocks only pay if they are also longer (see
-            # auto_block_and_group).
-            block = min(block * bin_group, 4096)
 
     # Patch height is a perf knob: the ES factor build and the patch
     # matmul cost scale with patch_x, while smaller patches mean more

@@ -139,10 +139,10 @@ def test_grouped_invert_matches_ungrouped():
 def test_auto_block_and_group_consistency(monkeypatch):
     monkeypatch.delenv("CIP_BLOCK", raising=False)
     monkeypatch.delenv("CIP_WBIN_GROUP", raising=False)
-    # Small workloads stay ungrouped; dense ones group and lengthen.
+    # Small workloads stay ungrouped; dense ones group at the SAME
+    # block size (the measured optimum — fill gain, not longer steps).
     assert auto_bin_group(100_000) == 1
-    block, group = auto_block_and_group(6_000_000)
-    assert group == 2 and block == 2048
+    assert auto_block_and_group(6_000_000) == (1024, 4)
     monkeypatch.setenv("CIP_WBIN_GROUP", "1")
     assert auto_block_and_group(6_000_000) == (1024, 1)
     monkeypatch.setenv("CIP_WBIN_GROUP", "0")
