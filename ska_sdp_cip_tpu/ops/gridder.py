@@ -170,6 +170,14 @@ def plan_host_arrays(
         "last_blocks": plan.last_blocks,
     })
     arrays.update(_quad_arrays(plan))
+    if plan.plane_pairs:
+        # (num_pairs, 2) plane w's; an odd plane count pads the final
+        # pair with the would-be plane nplanes, which lies outside
+        # every block's ES window (zero contributions by construction).
+        w2 = plan.w0 + plan.dw * np.arange(
+            2 * plan.num_pairs, dtype=np.float64
+        )
+        arrays["plane_w2"] = w2.astype(np.float32).reshape(-1, 2)
     if resolve_gridder_mode(gridder) == "xla":
         arrays.update(
             {
@@ -747,6 +755,94 @@ def build_invert(
             return image.T
         return image
 
+    if mode.startswith("pallas") and plan.plane_pairs:
+        from .pallas_gridder import build_grid_planes_pallas_pair
+
+        grid_pair = build_grid_planes_pallas_pair(
+            plan, interpret=(mode == "pallas_interpret")
+        )
+        NSEG = plan.num_y_segments
+        SY = plan.seg_lanes
+        SEGW = plan.seg_width
+
+        @jax.jit
+        def invert_pallas_pair(arrays: dict, vis_re, vis_im):
+            inv_corr, nm1s = _geometry_maps(plan, arrays)
+            if slot_input:
+                re, im = vis_re, vis_im
+            else:
+                re, im = _prepare_sorted_vis(
+                    plan, arrays, vis_re, vis_im
+                )
+            data = arrays["packed"].at[4].set(re).at[5].set(im)
+
+            def grid_segment(k, g, w_ab):
+                return grid_pair(
+                    arrays["step_val"][k, g],
+                    arrays["step_aux"][k, g],
+                    arrays["first_block"][k, g],
+                    arrays["block_oy"],
+                    arrays["step_count"][k, g][None],
+                    jnp.full((1,), g * SY, jnp.int32),
+                    data,
+                    w_ab,
+                )
+
+            def pair_grids(k, w_ab):
+                if NSEG == 1:
+                    return grid_segment(k, 0, w_ab)
+                outs = [
+                    jnp.zeros(
+                        (plan.nalloc_x, plan.nalloc_y), jnp.float32
+                    )
+                    for _ in range(4)
+                ]
+                for g in range(NSEG):
+                    parts = grid_segment(k, g, w_ab)
+                    outs = [
+                        o.at[:, g * SY : g * SY + SEGW].add(part)
+                        for o, part in zip(outs, parts)
+                    ]
+                return outs
+
+            def pair_contrib(image_accum, k, include_b):
+                w_ab = arrays["plane_w2"][k]
+                gra, gia, grb, gib = pair_grids(k, w_ab)
+                contrib = plane_contrib(
+                    arrays,
+                    _fold_wraps(plan, gra),
+                    _fold_wraps(plan, gia),
+                    w_ab[0],
+                    nm1s_s,
+                )
+                if include_b:
+                    contrib = contrib + plane_contrib(
+                        arrays,
+                        _fold_wraps(plan, grb),
+                        _fold_wraps(plan, gib),
+                        w_ab[1],
+                        nm1s_s,
+                    )
+                return image_accum + contrib
+
+            inv_corr_s, nm1s_s = geometry_slabs(inv_corr, nm1s)
+            image = jnp.zeros((npix, rows_loc), jnp.float32)
+            n_full = plan.nplanes // 2
+            if n_full:
+                image, _ = lax.scan(
+                    lambda acc, k: (pair_contrib(acc, k, True), None),
+                    image,
+                    jnp.arange(n_full),
+                )
+            if plan.nplanes % 2:
+                # Odd plane count: the final pair's b-half is the pad
+                # plane — its (all-zero) grids are dropped before the
+                # FFT, so only the a-half pays a plane FFT.
+                image = pair_contrib(image, n_full, False)
+            return finalize_image(image, inv_corr_s)
+
+        return invert_pallas_pair
+
     if mode.startswith("pallas"):
         from .pallas_gridder import build_grid_planes_pallas
 
@@ -971,7 +1067,7 @@ def build_predict(
         )
 
     degrid_plane = None
-    if mode.startswith("pallas"):
+    if mode.startswith("pallas") and not plan.plane_pairs:
         from .pallas_gridder import build_degrid_planes_pallas
 
         degrid_plane = build_degrid_planes_pallas(
@@ -1037,6 +1133,85 @@ def build_predict(
             .add(jnp.stack([acc_re, acc_im], axis=1), mode="drop")
         )
         return pair[:, 0], pair[:, 1]
+
+    if mode.startswith("pallas") and plan.plane_pairs:
+        from .pallas_gridder import build_degrid_planes_pallas_pair
+
+        degrid_pair = build_degrid_planes_pallas_pair(
+            plan, interpret=(mode == "pallas_interpret")
+        )
+        NSEG = plan.num_y_segments
+        SY = plan.seg_lanes
+        SEGW = plan.seg_width
+
+        @jax.jit
+        def predict_pallas_pair(arrays: dict, image):
+            inv_corr, nm1s = _geometry_maps(plan, arrays)
+            img0 = jnp.asarray(image, jnp.float32) * inv_corr
+
+            def degrid_segment(k, g, ra, ia, rb, ib, w_ab):
+                return degrid_pair(
+                    arrays["step_val"][k, g],
+                    arrays["step_aux"][k, g],
+                    arrays["step_aux2"][k, g],
+                    arrays["first_block"][k, g],
+                    arrays["last_blocks"][k, g],
+                    arrays["block_oy"],
+                    arrays["step_count"][k, g][None],
+                    jnp.full((1,), g * SY, jnp.int32),
+                    arrays["packed"],
+                    ra,
+                    ia,
+                    rb,
+                    ib,
+                    w_ab,
+                )
+
+            def pair_step(acc, k, include_b):
+                w_ab = arrays["plane_w2"][k]
+                ra, ia = _screened_alloc(arrays, img0, w_ab[0], nm1s)
+                if include_b:
+                    rb, ib = _screened_alloc(
+                        arrays, img0, w_ab[1], nm1s
+                    )
+                else:
+                    # Pad plane: its ES w-factor is zero for every
+                    # block, so any grid works — reuse the a-half.
+                    rb, ib = ra, ia
+                if NSEG == 1:
+                    contrib = degrid_segment(
+                        k, 0, ra, ia, rb, ib, w_ab
+                    )
+                else:
+                    contrib = jnp.zeros_like(acc)
+                    for g in range(NSEG):
+                        cols = slice(g * SY, g * SY + SEGW)
+                        contrib = contrib + degrid_segment(
+                            k,
+                            g,
+                            ra[:, cols],
+                            ia[:, cols],
+                            rb[:, cols],
+                            ib[:, cols],
+                            w_ab,
+                        )
+                return acc + contrib
+
+            acc = jnp.zeros((2, num_slots), jnp.float32)
+            n_full = plan.nplanes // 2
+            if n_full:
+                acc, _ = lax.scan(
+                    lambda a, k: (pair_step(a, k, True), None),
+                    acc,
+                    jnp.arange(n_full),
+                )
+            if plan.nplanes % 2:
+                acc = pair_step(acc, n_full, False)
+            if slot_output:
+                return acc[0], acc[1]
+            return _finalize(arrays, acc[0], acc[1])
+
+        return predict_pallas_pair
 
     if mode.startswith("pallas"):
 

@@ -155,6 +155,77 @@ def _dot3_pair_m0(lhs_a, lhs_b, rhs, m):
     return out_a, out_b
 
 
+def _dot3_quad_m(lhs, rhs, m):
+    """
+    Four f32-accurate (m, B) x (B, n) contractions against a SHARED
+    right operand (the plane-pair kernels' re/im x plane-a/b forms),
+    bf16x3 passes stacked along M: one (8m, B) dot against rhs_hi plus
+    one (4m, B) dot against rhs_lo. Contraction is over the LAST axis
+    of both operands. Same arithmetic per output as
+    :func:`_dot3_pair_m`.
+    """
+    contract = (((1,), (1,)), ((), ()))
+    his = [x.astype(jnp.bfloat16) for x in lhs]
+    los = [
+        (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+        for x, h in zip(lhs, his)
+    ]
+    r_hi = rhs.astype(jnp.bfloat16)
+    r_lo = (rhs - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    big = lax.dot_general(
+        jnp.concatenate(his + los, axis=0),
+        r_hi,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    cross = lax.dot_general(
+        jnp.concatenate(his, axis=0),
+        r_lo,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    return [
+        big[i * m : (i + 1) * m]
+        + big[(4 + i) * m : (5 + i) * m]
+        + cross[i * m : (i + 1) * m]
+        for i in range(4)
+    ]
+
+
+def _dot3_quad_m0(lhs, rhs, m):
+    """
+    As :func:`_dot3_quad_m` but contracting the FIRST axis of both
+    operands (the degrid direction), passes stacked along the lhs free
+    axis.
+    """
+    contract = (((0,), (0,)), ((), ()))
+    his = [x.astype(jnp.bfloat16) for x in lhs]
+    los = [
+        (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+        for x, h in zip(lhs, his)
+    ]
+    r_hi = rhs.astype(jnp.bfloat16)
+    r_lo = (rhs - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    big = lax.dot_general(
+        jnp.concatenate(his + los, axis=1),
+        r_hi,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    cross = lax.dot_general(
+        jnp.concatenate(his, axis=1),
+        r_lo,
+        contract,
+        preferred_element_type=jnp.float32,
+    )
+    return [
+        big[i * m : (i + 1) * m]
+        + big[(4 + i) * m : (5 + i) * m]
+        + cross[i * m : (i + 1) * m]
+        for i in range(4)
+    ]
+
+
 def _decode_step(step_val, step_aux, j):
     """
     Shared step decode (encoding: ops/plan.py:build_step_tables):
@@ -196,6 +267,374 @@ def _kernel_factors(plan: GridderPlan, pack, wp_ref, wstacking):
         kw = jnp.ones_like(ws)
     amp = jnp.where(lane, kw, 0.0)
     return ax, ay, amp
+
+
+def _kernel_factors_pair(plan: GridderPlan, pack, wp_ref):
+    """
+    VPU build of the separable kernel matrices for one block visiting
+    a PLANE PAIR: shared ax/ay plus per-plane amplitudes. The two w
+    factors are evaluated in one (2, B) transcendental pass. Pair
+    plans exist only when w-stacking is on.
+    """
+    PX, PY, B, W = plan.patch_x, plan.patch_y, plan.block, plan.support
+    xpos = pack[0:1, :]
+    ypos = pack[1:2, :]
+    ws = pack[2:3, :]
+    lenf = pack[3:4, :]
+    inv_half = jnp.float32(2.0 / W)
+    iota_x = lax.broadcasted_iota(jnp.int32, (PX, B), 0).astype(
+        jnp.float32
+    )
+    iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0).astype(
+        jnp.float32
+    )
+    ax = es_kernel_jnp((iota_x - xpos) * inv_half, plan.beta)
+    ay = es_kernel_jnp((iota_y - ypos) * inv_half, plan.beta)
+    lane = (
+        lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
+        < lenf
+    )
+    inv_whalf = jnp.float32(2.0 / (W * plan.dw))
+    z = (
+        jnp.concatenate(
+            [wp_ref[0, 0] - ws, wp_ref[0, 1] - ws], axis=0
+        )
+        * inv_whalf
+    )
+    kw = es_kernel_jnp(z, plan.beta)
+    amp = jnp.where(lane, kw, 0.0)
+    return ax, ay, amp[0:1, :], amp[1:2, :]
+
+
+def _grid_strip_pair_kernel_factory(plan: GridderPlan):
+    """Plane-pair variant of :func:`_grid_strip_kernel_factory`: two
+    adjacent w-planes' strips stay resident and every block visit
+    grids onto both, halving block-steps and sharing the ES build."""
+    PX, PY = plan.patch_x, plan.patch_y
+    B = plan.block
+    SX = plan.tile_x
+    CARRY = PX - SX
+    NS = plan.num_strips
+    NY = plan.seg_width
+
+    def kernel(
+        # scalar prefetch
+        step_val,
+        step_aux,
+        first_blk,
+        blk_oy,
+        count,
+        seg_base,
+        # inputs
+        packed_hbm,
+        wp_ref,
+        # outputs (planes a, b)
+        out_re_a,
+        out_im_a,
+        out_re_b,
+        out_im_b,
+        # scratch
+        strip_re,
+        strip_im,
+        pack_buf,
+        in_sems,
+        out_sems,
+    ):
+        j = pl.program_id(0)
+        cnt = count[0]
+
+        def in_copy(b, par):
+            s = pl.multiple_of(b * B, B)
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(s, B)],
+                pack_buf.at[par],
+                in_sems.at[par],
+            )
+
+        @pl.when(j == 0)
+        def _():
+            strip_re[0] = jnp.zeros((2, PX, NY), jnp.float32)
+            strip_im[0] = jnp.zeros((2, PX, NY), jnp.float32)
+            for slot in range(PREFETCH_DEPTH):
+                head = first_blk[slot]
+
+                @pl.when(head >= 0)
+                def _():
+                    in_copy(jnp.maximum(head, 0), slot).start()
+
+        v, pref, sbuf, par, _out_par = _decode_step(
+            step_val, step_aux, j
+        )
+        active = j < cnt
+
+        @pl.when(active & (pref >= 0))
+        def _():
+            in_copy(
+                jnp.maximum(pref, 0),
+                (par + PREFETCH_DEPTH) % NUM_IN_BUFFERS,
+            ).start()
+
+        @pl.when(active & (v >= 0))
+        def _():
+            b = jnp.maximum(v, 0)
+            in_copy(b, par).wait()
+            ax, ay, amp_a, amp_b = _kernel_factors_pair(
+                plan, pack_buf[par], wp_ref
+            )
+            vre = pack_buf[par][4:5, :]
+            vim = pack_buf[par][5:6, :]
+            pra, pia, prb, pib = _dot3_quad_m(
+                [
+                    ax * (vre * amp_a),
+                    ax * (vim * amp_a),
+                    ax * (vre * amp_b),
+                    ax * (vim * amp_b),
+                ],
+                ay,
+                PX,
+            )
+            oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
+            strip_re[sbuf, 0, :, pl.ds(oy, PY)] = (
+                strip_re[sbuf, 0, :, pl.ds(oy, PY)] + pra
+            )
+            strip_im[sbuf, 0, :, pl.ds(oy, PY)] = (
+                strip_im[sbuf, 0, :, pl.ds(oy, PY)] + pia
+            )
+            strip_re[sbuf, 1, :, pl.ds(oy, PY)] = (
+                strip_re[sbuf, 1, :, pl.ds(oy, PY)] + prb
+            )
+            strip_im[sbuf, 1, :, pl.ds(oy, PY)] = (
+                strip_im[sbuf, 1, :, pl.ds(oy, PY)] + pib
+            )
+
+        @pl.when(active & (v < 0))
+        def _():
+            s = -1 - v
+            cur = sbuf
+            other = 1 - cur
+
+            def out_copies(buf, strip_idx, rows):
+                r0 = pl.multiple_of(strip_idx * SX, 8)
+                return (
+                    pltpu.make_async_copy(
+                        strip_re.at[buf, 0, pl.ds(0, rows), :],
+                        out_re_a.at[pl.ds(r0, rows), :],
+                        out_sems.at[buf, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        strip_im.at[buf, 0, pl.ds(0, rows), :],
+                        out_im_a.at[pl.ds(r0, rows), :],
+                        out_sems.at[buf, 1],
+                    ),
+                    pltpu.make_async_copy(
+                        strip_re.at[buf, 1, pl.ds(0, rows), :],
+                        out_re_b.at[pl.ds(r0, rows), :],
+                        out_sems.at[buf, 2],
+                    ),
+                    pltpu.make_async_copy(
+                        strip_im.at[buf, 1, pl.ds(0, rows), :],
+                        out_im_b.at[pl.ds(r0, rows), :],
+                        out_sems.at[buf, 3],
+                    ),
+                )
+
+            # The other buffer's writes (strip s-1) must land before
+            # the carry roll reuses it.
+            @pl.when(s >= 1)
+            def _():
+                for copy in out_copies(other, s - 1, SX):
+                    copy.wait()
+
+            strip_re[other, :, 0:CARRY, :] = strip_re[cur, :, SX:PX, :]
+            strip_re[other, :, CARRY:PX, :] = jnp.zeros(
+                (2, PX - CARRY, NY), jnp.float32
+            )
+            strip_im[other, :, 0:CARRY, :] = strip_im[cur, :, SX:PX, :]
+            strip_im[other, :, CARRY:PX, :] = jnp.zeros(
+                (2, PX - CARRY, NY), jnp.float32
+            )
+
+            @pl.when(s < NS - 1)
+            def _():
+                for copy in out_copies(cur, s, SX):
+                    copy.start()
+
+            @pl.when(s == NS - 1)
+            def _():
+                # Final strip owns its carry rows too; drain inline.
+                for copy in out_copies(cur, s, PX):
+                    copy.start()
+                for copy in out_copies(cur, s, PX):
+                    copy.wait()
+
+    return kernel
+
+
+def _degrid_strip_pair_kernel_factory(plan: GridderPlan):
+    """Plane-pair variant of :func:`_degrid_strip_kernel_factory`:
+    each block visit reads both resident plane strips and writes the
+    SUMMED pair contribution, halving block-steps and out-DMAs."""
+    PX, PY = plan.patch_x, plan.patch_y
+    B = plan.block
+    SX = plan.tile_x
+    NS = plan.num_strips
+
+    def kernel(
+        # scalar prefetch
+        step_val,
+        step_aux,
+        step_aux2,
+        first_blk,
+        last_blks,
+        blk_oy,
+        count,
+        seg_base,
+        # inputs
+        packed_hbm,
+        wp_ref,
+        grid_re_a_hbm,
+        grid_im_a_hbm,
+        grid_re_b_hbm,
+        grid_im_b_hbm,
+        out_in,
+        # outputs (aliased to out_in)
+        out_hbm,
+        # scratch
+        gbuf_re,
+        gbuf_im,
+        pack_buf,
+        con_buf,
+        in_sems,
+        grid_sems,
+        out_sems,
+    ):
+        j = pl.program_id(0)
+        cnt = count[0]
+
+        def pack_copy(b, par):
+            s = pl.multiple_of(b * B, B)
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(s, B)],
+                pack_buf.at[par],
+                in_sems.at[par],
+            )
+
+        def grid_copies(strip_idx, buf):
+            r0 = pl.multiple_of(strip_idx * SX, 8)
+            return (
+                pltpu.make_async_copy(
+                    grid_re_a_hbm.at[pl.ds(r0, PX), :],
+                    gbuf_re.at[buf, 0],
+                    grid_sems.at[buf, 0],
+                ),
+                pltpu.make_async_copy(
+                    grid_im_a_hbm.at[pl.ds(r0, PX), :],
+                    gbuf_im.at[buf, 0],
+                    grid_sems.at[buf, 1],
+                ),
+                pltpu.make_async_copy(
+                    grid_re_b_hbm.at[pl.ds(r0, PX), :],
+                    gbuf_re.at[buf, 1],
+                    grid_sems.at[buf, 2],
+                ),
+                pltpu.make_async_copy(
+                    grid_im_b_hbm.at[pl.ds(r0, PX), :],
+                    gbuf_im.at[buf, 1],
+                    grid_sems.at[buf, 3],
+                ),
+            )
+
+        def out_copy(b, par):
+            s = pl.multiple_of(b * B, B)
+            return pltpu.make_async_copy(
+                con_buf.at[par],
+                out_hbm.at[:, pl.ds(s, B)],
+                out_sems.at[par],
+            )
+
+        @pl.when(j == 0)
+        def _():
+            for copy in grid_copies(0, 0):
+                copy.start()
+            for slot in range(PREFETCH_DEPTH):
+                head = first_blk[slot]
+
+                @pl.when(head >= 0)
+                def _():
+                    pack_copy(jnp.maximum(head, 0), slot).start()
+
+        v, pref, sbuf, par, out_par = _decode_step(
+            step_val, step_aux, j
+        )
+        prev2 = step_aux2[j] - 1
+        active = j < cnt
+
+        @pl.when(active & (pref >= 0))
+        def _():
+            pack_copy(
+                jnp.maximum(pref, 0),
+                (par + PREFETCH_DEPTH) % NUM_IN_BUFFERS,
+            ).start()
+
+        @pl.when(active & (v < 0))
+        def _():
+            s = -1 - v
+            cur = sbuf
+            for copy in grid_copies(s, cur):
+                copy.wait()
+
+            @pl.when(s + 1 < NS)
+            def _():
+                for copy in grid_copies(s + 1, 1 - cur):
+                    copy.start()
+
+            @pl.when(s == NS - 1)
+            def _():
+                for slot in range(NUM_OUT_BUFFERS):
+                    enc = last_blks[slot]
+
+                    @pl.when(enc >= 0)
+                    def _():
+                        out_copy(
+                            jnp.maximum(enc >> 4, 0), enc & 15
+                        ).wait()
+
+        @pl.when(active & (v >= 0))
+        def _():
+            b = jnp.maximum(v, 0)
+            pack_copy(b, par).wait()
+            ax, ay, amp_a, amp_b = _kernel_factors_pair(
+                plan, pack_buf[par], wp_ref
+            )
+            oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
+            ta_re, ta_im, tb_re, tb_im = _dot3_quad_m0(
+                [
+                    gbuf_re[sbuf, 0, :, pl.ds(oy, PY)],
+                    gbuf_im[sbuf, 0, :, pl.ds(oy, PY)],
+                    gbuf_re[sbuf, 1, :, pl.ds(oy, PY)],
+                    gbuf_im[sbuf, 1, :, pl.ds(oy, PY)],
+                ],
+                ax,
+                PY,
+            )
+            con_re = (
+                jnp.sum(ta_re * ay, axis=0, keepdims=True) * amp_a
+                + jnp.sum(tb_re * ay, axis=0, keepdims=True) * amp_b
+            )
+            con_im = (
+                jnp.sum(ta_im * ay, axis=0, keepdims=True) * amp_a
+                + jnp.sum(tb_im * ay, axis=0, keepdims=True) * amp_b
+            )
+
+            @pl.when(prev2 >= 0)
+            def _():
+                out_copy(jnp.maximum(prev2, 0), out_par).wait()
+
+            con_buf[out_par, 0:1, :] = con_re
+            con_buf[out_par, 1:2, :] = con_im
+            out_copy(b, out_par).start()
+
+    return kernel
 
 
 def _grid_strip_kernel_factory(plan: GridderPlan):
@@ -548,6 +987,169 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
         )
 
     return grid_plane
+
+
+def build_grid_planes_pallas_pair(
+    plan: GridderPlan, *, interpret: bool = False
+):
+    """
+    Returns ``grid_pair(step_val, step_aux, first_block, block_oy,
+    count, seg_base, data, w_ab) -> (re_a, im_a, re_b, im_b)``: grid
+    one PLANE PAIR's blocks onto two padded uv allocs in one kernel
+    pass (``w_ab`` is the (1, 2) pair of plane w's). Requires a plan
+    built with ``plane_pairs=True`` (its step tables schedule pairs).
+    """
+    if not plan.plane_pairs:
+        raise ValueError("plan was not built with plane_pairs")
+    PX = plan.patch_x
+    B = plan.block
+    NY = plan.seg_width
+    num_steps = max(plan.step_val.shape[-1], 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # packed+vis (8, V)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_ab (1, 2)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
+            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
+            pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+
+    kernel = _grid_strip_pair_kernel_factory(plan)
+
+    alloc = jax.ShapeDtypeStruct(
+        (plan.nalloc_x, plan.seg_width), jnp.float32
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[alloc, alloc, alloc, alloc],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def grid_pair(
+        step_val, step_aux, first_block, block_oy, count, seg_base,
+        data, w_ab,
+    ):
+        return call(
+            step_val,
+            step_aux,
+            first_block,
+            block_oy,
+            count,
+            seg_base,
+            data,
+            w_ab.reshape(1, 2),
+        )
+
+    return grid_pair
+
+
+def build_degrid_planes_pallas_pair(
+    plan: GridderPlan, *, interpret: bool = False
+):
+    """
+    Returns ``degrid_pair(step_val, step_aux, step_aux2, first_block,
+    last_blocks, block_oy, count, seg_base, packed, re_a, im_a, re_b,
+    im_b, w_ab) -> (2, num_vis)``: the SUMMED visibility contributions
+    of one plane pair read off two (already FFT'd and unfolded) uv
+    allocs. The caller accumulates across pairs.
+    """
+    if not plan.plane_pairs:
+        raise ValueError("plan was not built with plane_pairs")
+    PX = plan.patch_x
+    B = plan.block
+    NY = plan.seg_width
+    num_vis = plan.num_vis
+    num_steps = max(plan.step_val.shape[-1], 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # packed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_ab
+            pl.BlockSpec(memory_space=pl.ANY),  # alloc_re_a
+            pl.BlockSpec(memory_space=pl.ANY),  # alloc_im_a
+            pl.BlockSpec(memory_space=pl.ANY),  # alloc_re_b
+            pl.BlockSpec(memory_space=pl.ANY),  # alloc_im_b
+            pl.BlockSpec(memory_space=pl.ANY),  # out zeros
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
+            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
+            pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
+            pltpu.VMEM((NUM_OUT_BUFFERS, 2, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((NUM_OUT_BUFFERS,)),
+        ],
+    )
+
+    kernel = _degrid_strip_pair_kernel_factory(plan)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, num_vis), jnp.float32),
+        # out zeros input (position 14 after 8 prefetch + packed, w_ab,
+        # re_a, im_a, re_b, im_b) aliases the output
+        input_output_aliases={14: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def degrid_pair(
+        step_val,
+        step_aux,
+        step_aux2,
+        first_block,
+        last_blocks,
+        block_oy,
+        count,
+        seg_base,
+        packed,
+        re_a,
+        im_a,
+        re_b,
+        im_b,
+        w_ab,
+    ):
+        zeros = jnp.zeros((2, num_vis), jnp.float32)
+        return call(
+            step_val,
+            step_aux,
+            step_aux2,
+            first_block,
+            last_blocks,
+            block_oy,
+            count,
+            seg_base,
+            packed,
+            w_ab.reshape(1, 2),
+            re_a,
+            im_a,
+            re_b,
+            im_b,
+            zeros,
+        )
+
+    return degrid_pair
 
 
 def build_degrid_planes_pallas(

@@ -149,23 +149,50 @@ def auto_block_and_group(num_vis: int) -> tuple[int, int]:
     """
     return auto_block(num_vis), auto_bin_group(num_vis)
 
-#: Strip-buffer VMEM budget: the kernels keep four
-#: (patch_x, seg_width) f32 buffers resident, which must fit inside
-#: the ~16 MB VMEM next to the input/output rings.
+#: Strip-buffer VMEM budget: the kernels keep four (single-plane mode)
+#: or eight (plane-pair mode) (patch_x, seg_width) f32 buffers
+#: resident, which must fit inside the ~16 MB VMEM next to the
+#: input/output rings.
 _SEG_BUDGET_BYTES = 10 * 1024 * 1024
 
 
-def max_seg_width(patch_x: int) -> int:
+def max_seg_width(patch_x: int, num_buffers: int = 4) -> int:
     """
     Maximum strip-buffer width in lanes (owned lanes + patch
     overhang) for the given patch height, floored to a lane tile.
     At the historical 128-row patches this evaluates to the
     measured-safe 4992; shorter patches afford proportionally wider
     strips (fewer lane segments, fewer per-plane kernel calls and
-    seam adds on production-size grids).
+    seam adds on production-size grids). Plane-pair kernels keep
+    twice the buffers resident (``num_buffers=8``) and get half the
+    width.
     """
-    width = _SEG_BUDGET_BYTES // (4 * patch_x * 4)
+    width = _SEG_BUDGET_BYTES // (num_buffers * patch_x * 4)
     return max(128, (width // 128) * 128)
+
+
+def plane_pair_mode(wstacking: bool, nplanes: int) -> bool:
+    """
+    Whether the plan's step tables schedule PLANE PAIRS: each kernel
+    call keeps two adjacent w-planes' strips resident and every block
+    visit grids onto both, halving the block-step count (per-step
+    scalar overhead is the dominant kernel cost, see
+    docs/src/performance.rst) and sharing the ES factor build across
+    the pair. The ES w-factor is exactly zero on planes outside a
+    block's window, so pair visits that overhang the window add zeros
+    — accuracy is unchanged. ``CIP_PLANE_PAIR`` overrides ("1"/"0";
+    default auto = on whenever w-stacking yields multiple planes).
+    """
+    import os
+
+    env = os.environ.get("CIP_PLANE_PAIR", "auto")
+    if env not in ("auto", "0", "1"):
+        raise ValueError("CIP_PLANE_PAIR must be 'auto', '0' or '1'")
+    if env == "0":
+        return False
+    if env == "1":
+        return bool(wstacking) and nplanes >= 2
+    return bool(wstacking) and nplanes >= 2
 
 #: Input-DMA pipeline of the strip kernels: per-block data is fetched
 #: PREFETCH_DEPTH block-steps ahead into NUM_IN_BUFFERS slots, hiding
@@ -267,10 +294,14 @@ class GridderPlan:
     seg_lanes: int = 0
 
     # Strip-kernel step program (see pallas_gridder): per (plane,
-    # y-segment), the interleaved sequence of block steps (value >= 0)
-    # and strip sentinels (value == -1 - strip); -2 pads inactive
-    # tail steps.
+    # y-segment) — or per (plane PAIR, y-segment) when ``plane_pairs``
+    # — the interleaved sequence of block steps (value >= 0) and strip
+    # sentinels (value == -1 - strip); -2 pads inactive tail steps.
     num_strips: int = 0
+    #: Step tables schedule plane PAIRS (see :func:`plane_pair_mode`):
+    #: table row k covers planes (2k, 2k+1); pair kernels grid both
+    #: from one block visit. Row count = ``num_pairs``.
+    plane_pairs: bool = False
     step_val: np.ndarray = field(repr=False, default=None)
     #: Kernel-ready derived columns precomputed by the native engine
     #: in the export pass (None under the numpy fallback;
@@ -297,6 +328,16 @@ class GridderPlan:
         """Strip-buffer width: owned lanes plus the patch overhang."""
         return self.seg_lanes + (self.patch_y - self.tile_y)
 
+    @property
+    def num_pairs(self) -> int:
+        """Plane pairs covered by the step tables (pair mode only)."""
+        return (self.nplanes + 1) // 2
+
+    @property
+    def num_step_rows(self) -> int:
+        """First-axis extent of the step tables."""
+        return self.num_pairs if self.plane_pairs else self.nplanes
+
     def static_signature(self) -> tuple:
         """
         The static shape/config tuple that must match across shards for
@@ -322,6 +363,7 @@ class GridderPlan:
             self.num_y_segments,
             self.seg_lanes,
             self.step_val.shape[-1],
+            self.plane_pairs,
         )
 
 
@@ -518,6 +560,7 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
             p.patch_y,
             p.block,
             p.wstacking,
+            p.plane_pairs,
         )
         for p in plans
     }
@@ -565,7 +608,9 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         table[: p.active_table.shape[0], : p.active_table.shape[1]] = (
             p.active_table
         )
-        shape = (nplanes, num_segments, max_steps)
+        # Pair-mode tables have one row per plane PAIR.
+        num_rows = (nplanes + 1) // 2 if p.plane_pairs else nplanes
+        shape = (num_rows, num_segments, max_steps)
         step_val = np.full(shape, -2, dtype=np.int32)
         step_aux = np.zeros(shape, dtype=np.int32)
         step_aux2 = np.zeros(shape, dtype=np.int32)
@@ -578,15 +623,15 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         step_aux[:rows, :, cols:] = 0
         step_aux2[:rows, :, :cols] = p.step_aux2
         step_count = np.full(
-            (nplanes, num_segments), num_strips, dtype=np.int32
+            (num_rows, num_segments), num_strips, dtype=np.int32
         )
         step_count[:rows] = p.step_count
         first_block = np.full(
-            (nplanes, num_segments, PREFETCH_DEPTH), -1, np.int32
+            (num_rows, num_segments, PREFETCH_DEPTH), -1, np.int32
         )
         first_block[:rows] = p.first_block
         last_blocks = np.full(
-            (nplanes, num_segments, NUM_OUT_BUFFERS), -1, dtype=np.int32
+            (num_rows, num_segments, NUM_OUT_BUFFERS), -1, dtype=np.int32
         )
         last_blocks[:rows] = p.last_blocks
         block_start = (
@@ -901,11 +946,13 @@ def make_plan(
     nalloc_y = -(-nalloc_y // 128) * 128
 
     # Lane segmentation: cap the strip-buffer width so the kernels'
-    # four (patch_x, seg_width) f32 buffers stay within ~10 MB of the
-    # chip's ~16 MB VMEM. Wide (production) grids run in several
-    # segments, seam-added by the gridder.
+    # four (single-plane) or eight (plane-pair) (patch_x, seg_width)
+    # f32 buffers stay within ~10 MB of the chip's ~16 MB VMEM. Wide
+    # (production) grids run in several segments, seam-added by the
+    # gridder.
+    pairs = plane_pair_mode(wstacking, nplanes)
     overhang = patch_y - tile_y
-    seg_cap = max_seg_width(patch_x)
+    seg_cap = max_seg_width(patch_x, 8 if pairs else 4)
     num_y_segments = max(
         1, -(-(nalloc_y - overhang) // (seg_cap - overhang))
     )
@@ -1128,11 +1175,18 @@ def make_plan(
         if num_blocks
         else np.zeros(0, dtype=np.int64)
     )
+    # Pair mode: table row k schedules planes (2k, 2k+1) — a block is
+    # active on row k when its plane window intersects the pair.
+    if pairs:
+        row_lo, row_hi = plane_lo // 2, plane_hi // 2
+        num_rows = (nplanes + 1) // 2
+    else:
+        row_lo, row_hi, num_rows = plane_lo, plane_hi, nplanes
     step_tables = build_step_tables(
-        plane_lo,
-        plane_hi,
+        row_lo,
+        row_hi,
         block_strip,
-        nplanes,
+        num_rows,
         num_strips,
         block_segment,
         num_y_segments,
@@ -1184,6 +1238,7 @@ def make_plan(
         quad_nodes=quad_nodes,
         quad_folded=quad_folded,
         num_strips=num_strips,
+        plane_pairs=pairs,
         num_y_segments=num_y_segments,
         seg_lanes=seg_lanes,
         packed=slot_packed,

@@ -93,7 +93,9 @@ def test_pallas_segmented_matches_xla(apply_w, monkeypatch):
     """
     from ska_sdp_cip_tpu.ops import plan as plan_mod
 
-    monkeypatch.setattr(plan_mod, "max_seg_width", lambda patch_x: 128)
+    monkeypatch.setattr(
+        plan_mod, "max_seg_width", lambda patch_x, num_buffers=4: 128
+    )
 
     rng = np.random.default_rng(53)
     uvw, _ = synthetic_uvw(3, 10, max_baseline_m=5000.0, seed=47)
@@ -185,6 +187,73 @@ def test_pallas_larger_blocks_match_xla(block):
         atol=2e-5 * np.abs(xla_image).max(),
         rtol=1e-3,
     )
+
+
+def test_plane_pair_matches_single_plane(monkeypatch):
+    """
+    Plane-pair scheduling (CIP_PLANE_PAIR=1, the w-stacking default)
+    must reproduce the single-plane kernels' images and visibilities —
+    the pair kernels share one ES build across two resident planes but
+    the per-plane arithmetic is identical.
+    """
+    from ska_sdp_cip_tpu.ops.gridder import build_predict
+
+    rng = np.random.default_rng(61)
+    uvw, _ = synthetic_uvw(3, 10, max_baseline_m=5000.0, seed=59)
+    freqs = np.array([1.0e9, 1.07e9])
+    shape = (len(uvw), 2)
+    vis = (
+        rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    ).astype(np.complex64)
+    wgt = rng.uniform(0.5, 2.0, size=shape).astype(np.float32)
+    pix = float(np.sin(np.radians(40.0 / 3600)))
+    image = rng.normal(size=(96, 96)).astype(np.float32)
+
+    results = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("CIP_PLANE_PAIR", flag)
+        plan = make_plan(uvw, freqs, 96, pix, epsilon=1e-4)
+        assert plan.plane_pairs == (flag == "1")
+        if flag == "1":
+            # Odd and even plane counts exercise the pad-plane tail.
+            assert plan.num_step_rows == (plan.nplanes + 1) // 2
+        arrays = plan_device_arrays(plan)
+        re, im = split_complex((vis * wgt).ravel())
+        re_pad = np.zeros(plan.num_vis, np.float32)
+        im_pad = np.zeros(plan.num_vis, np.float32)
+        re_pad[: len(re)], im_pad[: len(im)] = re, im
+        inv = build_invert(plan, gridder="pallas_interpret")
+        img = np.asarray(
+            inv(arrays, jnp.asarray(re_pad), jnp.asarray(im_pad))
+        )
+        pre = build_predict(plan, gridder="pallas_interpret")
+        out_re, out_im = pre(arrays, jnp.asarray(image))
+        results[flag] = (img, np.asarray(out_re), np.asarray(out_im))
+
+    img0, pre_re0, pre_im0 = results["0"]
+    img1, pre_re1, pre_im1 = results["1"]
+    np.testing.assert_allclose(
+        img1, img0, atol=1e-6 * np.abs(img0).max(), rtol=1e-5
+    )
+    scale = max(np.abs(pre_re0).max(), np.abs(pre_im0).max())
+    np.testing.assert_allclose(pre_re1, pre_re0, atol=1e-6 * scale)
+    np.testing.assert_allclose(pre_im1, pre_im0, atol=1e-6 * scale)
+
+
+def test_plane_pair_mode_resolution(monkeypatch):
+    from ska_sdp_cip_tpu.ops.plan import plane_pair_mode
+
+    monkeypatch.delenv("CIP_PLANE_PAIR", raising=False)
+    assert plane_pair_mode(True, 9) is True
+    assert plane_pair_mode(True, 1) is False
+    assert plane_pair_mode(False, 1) is False
+    monkeypatch.setenv("CIP_PLANE_PAIR", "0")
+    assert plane_pair_mode(True, 9) is False
+    monkeypatch.setenv("CIP_PLANE_PAIR", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        plane_pair_mode(True, 9)
 
 
 def test_auto_block_thresholds():

@@ -130,7 +130,9 @@ def test_padded_plane_rows_match_kernel_parity_decode():
         "nplanes": plan.nplanes + 3,
         "max_steps": plan.step_val.shape[-1],
     })
-    for p in range(plan.nplanes, padded.nplanes):
+    # Step-table rows are plane PAIRS when plane_pairs is on; padding
+    # rows start after the original plan's rows either way.
+    for p in range(plan.num_step_rows, padded.num_step_rows):
         for g in range(padded.num_y_segments):
             row = padded.step_val[p, g]
             aux = padded.step_aux[p, g]
