@@ -701,6 +701,10 @@ void cip_slot_plan_export(
     const int64_t B = plan->block;
     const int32_t pad_cell = (int32_t)plan->support;
     const int64_t num_slots = num_blocks_padded * B;
+    // Any of the per-slot coordinate outputs (flip, x0, y0, fx, fy,
+    // ws) may be NULL: the Pallas path reads only the packed columns,
+    // and skipping the coordinate exports avoids ~170 MB of stores +
+    // first-touch page faults per 7M-slot plan on lazily-backed VMs.
     // Parallelize over SLOTS: the outputs are freshly-mapped numpy
     // buffers whose first-touch page faults dominate on lazily-backed
     // VM memory, and a block count below parallel_for's threshold
@@ -717,7 +721,7 @@ void cip_slot_plan_export(
                 const int64_t start = plan->start_sorted[b];
                 const int64_t src = plan->src_sorted[start + l];
                 order[slot] = (int32_t)src;
-                flip[slot] = plan->flip[src];
+                if (flip) flip[slot] = plan->flip[src];
                 flip_sign[slot] = plan->flip[src] ? -1.0f : 1.0f;
                 x0v = plan->x0[src];
                 y0v = plan->y0[src];
@@ -726,7 +730,7 @@ void cip_slot_plan_export(
                 wsv = plan->ws[src];
             } else {
                 order[slot] = pad_order;
-                flip[slot] = 0;
+                if (flip) flip[slot] = 0;
                 flip_sign[slot] = 1.0f;
                 x0v = pad_cell;
                 y0v = pad_cell;
@@ -734,19 +738,19 @@ void cip_slot_plan_export(
                 fyv = 0.5f;
                 wsv = 0.0f;
             }
-            x0[slot] = x0v;
-            y0[slot] = y0v;
-            fx[slot] = fxv;
-            fy[slot] = fyv;
-            ws[slot] = wsv;
+            if (x0) x0[slot] = x0v;
+            if (y0) y0[slot] = y0v;
+            if (fx) fx[slot] = fxv;
+            if (fy) fy[slot] = fyv;
+            if (ws) ws[slot] = wsv;
             const int32_t bx = real ? plan->box[b] : 0;
             const int32_t by = real ? plan->boy[b] : 0;
             packed[slot] = (float)(x0v - bx) + fxv;
             packed[num_slots + slot] = (float)(y0v - by) + fyv;
             packed[2 * num_slots + slot] = wsv;
             packed[3 * num_slots + slot] = (float)len;
-            for (int r = 4; r < 8; ++r)
-                packed[r * num_slots + slot] = 0.0f;
+            // Rows 4-7 (device-spliced visibilities + alignment pad)
+            // stay as the allocation's zero fill — no stores needed.
             const double ph = phase_factor * (double)wsv;
             phase_cos[slot] = (float)std::cos(ph);
             phase_sin[slot] = (float)std::sin(ph);

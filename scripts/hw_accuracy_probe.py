@@ -60,7 +60,13 @@ def main() -> None:
     uvw, _ = synthetic_uvw(6, 48, max_baseline_m=7000.0, seed=8)
     freqs = np.linspace(1.40e9, 1.48e9, NUM_CHANNELS)
     pixel_size_lm = float(np.sin(np.radians(8.0 / 3600.0)))
-    plan = make_plan(uvw, freqs, NPIX, pixel_size_lm, epsilon=1e-4)
+    # export_coords: the probe runs BOTH gridder paths off one plan,
+    # so the XLA path's per-slot coordinate columns must be kept even
+    # though the resolved mode on TPU is pallas.
+    plan = make_plan(
+        uvw, freqs, NPIX, pixel_size_lm, epsilon=1e-4,
+        export_coords=True,
+    )
     # gridder='xla' keeps the XLA path's extra plan arrays staged too
     arrays = {
         k: jnp.asarray(v)

@@ -90,6 +90,8 @@ def _declare(lib) -> None:
 
 
 def _ptr(arr, ctype):
+    if arr is None:  # optional output: the C side skips NULL targets
+        return None
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
@@ -184,6 +186,7 @@ def build_slot_plan(
     min_blocks: int = 1,
     pad_order: int = 0,
     phase_factor: float = 0.0,
+    export_coords: bool = True,
 ) -> dict:
     """
     Fused (uvw, freqs) -> block-slot plan layout: per-slot sample
@@ -192,6 +195,12 @@ def build_slot_plan(
     radix key sort, block split, slot scatter). ``num_blocks`` in the
     result is the REAL block count; arrays are padded to
     ``max(num_blocks, min_blocks, 1)`` blocks.
+
+    ``export_coords=False`` skips the per-slot coordinate columns
+    (flip, x0, y0, fx, fy, ws — returned as None): the Pallas kernels
+    read only the packed columns, and the skip avoids ~170 MB of
+    stores + first-touch page faults per 7M-slot plan on
+    lazily-backed VM memory.
     """
     lib = load_library()
     uvw = np.ascontiguousarray(uvw, np.float64)
@@ -222,14 +231,19 @@ def build_slot_plan(
         num_slots = padded * block
         # Pre-faulted buffers: np.empty pages fault erratically
         # slowly on lazily-backed VM memory (see utils/hostmem.py).
+        def _coords(count, dtype):
+            return (
+                alloc_populated(count, dtype) if export_coords else None
+            )
+
         out = {
             "order": alloc_populated(num_slots, np.int32),
-            "flip": alloc_populated(num_slots, np.uint8),
-            "x0": alloc_populated(num_slots, np.int32),
-            "y0": alloc_populated(num_slots, np.int32),
-            "fx": alloc_populated(num_slots, np.float32),
-            "fy": alloc_populated(num_slots, np.float32),
-            "ws": alloc_populated(num_slots, np.float32),
+            "flip": _coords(num_slots, np.uint8),
+            "x0": _coords(num_slots, np.int32),
+            "y0": _coords(num_slots, np.int32),
+            "fx": _coords(num_slots, np.float32),
+            "fy": _coords(num_slots, np.float32),
+            "ws": _coords(num_slots, np.float32),
             "block_len": alloc_populated(padded, np.int32),
             "block_ox": alloc_populated(padded, np.int32),
             "block_oy": alloc_populated(padded, np.int32),

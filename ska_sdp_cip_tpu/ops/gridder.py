@@ -140,7 +140,10 @@ def compute_geometry_maps(plan: GridderPlan) -> dict:
 
 
 def plan_host_arrays(
-    plan: GridderPlan, *, gridder: str | None = None
+    plan: GridderPlan,
+    *,
+    gridder: str | None = None,
+    slot_mode: bool = False,
 ) -> dict:
     """
     Host (numpy) arrays of a plan — the per-visibility/per-block part
@@ -152,13 +155,19 @@ def plan_host_arrays(
     coordinate columns and active tables that only the XLA fallback
     consumes are omitted — at production scale they are GBs of
     transfer/HBM the kernels never read.
+
+    ``slot_mode=True`` additionally drops the data-order <-> slot-order
+    transform columns (order, flip_sign, phase_cos, phase_sin): the
+    slot-space operators (``build_invert(..., slot_input=True)`` /
+    ``build_predict(..., slot_output=True)``) never read them on
+    device, and they are ~115 MB of staging per 7M-slot plan. Host
+    staging still gets them from :func:`plan_order_host`.
     """
     # Static per-slot w-shift phase factors (exp(-i 2 pi n_mid w_s))
     # and flip signs: precomputed by the native planner's export pass
     # when available, else one numpy pass (plan_order_host).
-    arrays = dict(plan_order_host(plan))
+    arrays = {} if slot_mode else dict(plan_order_host(plan))
     arrays.update({
-        "ws": plan.ws,
         "block_oy": plan.block_oy,
         "plane_w": plan.plane_w,
         # Strip-kernel step program (ops/plan.py:build_step_tables)
@@ -179,8 +188,17 @@ def plan_host_arrays(
         )
         arrays["plane_w2"] = w2.astype(np.float32).reshape(-1, 2)
     if resolve_gridder_mode(gridder) == "xla":
+        if plan.x0 is None:
+            raise ValueError(
+                "plan was built without per-slot coordinate columns "
+                "(export_coords=False, the Pallas default on "
+                "accelerators); rebuild with "
+                "make_plan(..., export_coords=True) to run the XLA "
+                "gridder"
+            )
         arrays.update(
             {
+                "ws": plan.ws,
                 "x0": plan.x0,
                 "y0": plan.y0,
                 "fx": plan.fx,
@@ -243,15 +261,20 @@ def plan_host_arrays(
     return arrays
 
 
-def plan_device_arrays(plan: GridderPlan) -> dict:
+def plan_device_arrays(
+    plan: GridderPlan, *, slot_mode: bool = False
+) -> dict:
     """
     Device-resident gridding-program inputs (pure staging — the
     image-domain geometry maps are computed inside the jitted
     invert/predict programs from the staged quadrature rule).
+    ``slot_mode`` as in :func:`plan_host_arrays`.
     """
     return {
         key: jnp.asarray(value)
-        for key, value in plan_host_arrays(plan).items()
+        for key, value in plan_host_arrays(
+            plan, slot_mode=slot_mode
+        ).items()
     }
 
 

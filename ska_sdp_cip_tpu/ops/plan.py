@@ -588,6 +588,8 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
     num_vis = num_blocks * block
 
     def _pad1(arr, target, fill):
+        if arr is None:  # skipped coordinate export (Pallas mode)
+            return None
         if len(arr) == target:
             return arr
         out = np.full(target, fill, dtype=arr.dtype)
@@ -788,6 +790,7 @@ def make_plan(
     min_active: int = 1,
     min_planes: int = 1,
     w_range: tuple | None = None,
+    export_coords: bool | None = None,
 ) -> GridderPlan:
     """
     Build a :class:`GridderPlan` for visibilities ``uvw`` (nrow, 3) in
@@ -811,6 +814,15 @@ def make_plan(
     ``min_blocks`` / ``min_active`` / ``min_planes`` pad the static
     shapes up to common bounds — used by the sharded invert so every
     device runs an identical program over differently-sized shards.
+
+    ``export_coords`` controls whether the per-slot coordinate columns
+    (flip, x0, y0, fx, fy, ws) are materialized. Only the XLA fallback
+    gridder reads them — the Pallas kernels consume the fused
+    ``packed`` columns — and at production scale they cost ~170 MB of
+    host stores + page faults per plan. ``None`` resolves from the
+    gridder mode (``CIP_GRIDDER``/backend): skipped exactly when the
+    Pallas path will run. Callers that build BOTH paths from one plan
+    (accuracy cross-checks) must pass ``True``.
     """
     uvw = np.asarray(uvw, dtype=np.float64)
     freqs = np.asarray(channel_frequencies, dtype=np.float64)
@@ -819,6 +831,10 @@ def make_plan(
 
     num_vis = len(uvw) * len(freqs)
     use_native = _native.available() and num_vis > 0
+    if export_coords is None:
+        from .gridder import resolve_gridder_mode
+
+        export_coords = resolve_gridder_mode(None) == "xla"
     if bin_group is None:
         bin_group = auto_bin_group(num_vis)
     bin_group = max(int(bin_group), 1)
@@ -993,11 +1009,16 @@ def make_plan(
             # (cos=1, sin=0) or psf()/slot-input inverts pick up a
             # spurious per-slot rotation (round-2 advisor finding).
             phase_factor=(-2.0 * np.pi * n_mid) if wstacking else 0.0,
+            export_coords=export_coords,
         )
         num_blocks = slot["num_blocks"]
         num_blocks_padded = len(slot["block_len"])
         slot_order = slot["order"]
-        slot_flip = slot["flip"].astype(bool)
+        slot_flip = (
+            slot["flip"].astype(bool)
+            if slot["flip"] is not None
+            else None
+        )
         slot_x0 = slot["x0"]
         slot_y0 = slot["y0"]
         slot_fx = slot["fx"]
