@@ -179,14 +179,16 @@ def plan_host_arrays(
         "last_blocks": plan.last_blocks,
     })
     arrays.update(_quad_arrays(plan))
-    if plan.plane_pairs:
-        # (num_pairs, 2) plane w's; an odd plane count pads the final
-        # pair with the would-be plane nplanes, which lies outside
-        # every block's ES window (zero contributions by construction).
-        w2 = plan.w0 + plan.dw * np.arange(
-            2 * plan.num_pairs, dtype=np.float64
+    if plan.plane_group > 1:
+        # (num_groups, G) plane w's; a ragged final group is padded
+        # with would-be planes >= nplanes, which lie outside every
+        # block's ES window (zero contributions by construction).
+        wg = plan.w0 + plan.dw * np.arange(
+            plan.plane_group * plan.num_groups, dtype=np.float64
         )
-        arrays["plane_w2"] = w2.astype(np.float32).reshape(-1, 2)
+        arrays["plane_wg"] = wg.astype(np.float32).reshape(
+            -1, plan.plane_group
+        )
     if resolve_gridder_mode(gridder) == "xla":
         if plan.x0 is None:
             raise ValueError(
@@ -778,18 +780,19 @@ def build_invert(
             return image.T
         return image
 
-    if mode.startswith("pallas") and plan.plane_pairs:
-        from .pallas_gridder import build_grid_planes_pallas_pair
+    if mode.startswith("pallas") and plan.plane_group > 1:
+        from .pallas_gridder import build_grid_planes_pallas_group
 
-        grid_pair = build_grid_planes_pallas_pair(
+        grid_group = build_grid_planes_pallas_group(
             plan, interpret=(mode == "pallas_interpret")
         )
+        GP = plan.plane_group
         NSEG = plan.num_y_segments
         SY = plan.seg_lanes
         SEGW = plan.seg_width
 
         @jax.jit
-        def invert_pallas_pair(arrays: dict, vis_re, vis_im):
+        def invert_pallas_group(arrays: dict, vis_re, vis_im):
             inv_corr, nm1s = _geometry_maps(plan, arrays)
             if slot_input:
                 re, im = vis_re, vis_im
@@ -799,8 +802,8 @@ def build_invert(
                 )
             data = arrays["packed"].at[4].set(re).at[5].set(im)
 
-            def grid_segment(k, g, w_ab):
-                return grid_pair(
+            def grid_segment(k, g, w_g):
+                return grid_group(
                     arrays["step_val"][k, g],
                     arrays["step_aux"][k, g],
                     arrays["first_block"][k, g],
@@ -808,63 +811,58 @@ def build_invert(
                     arrays["step_count"][k, g][None],
                     jnp.full((1,), g * SY, jnp.int32),
                     data,
-                    w_ab,
+                    w_g,
                 )
 
-            def pair_grids(k, w_ab):
+            def group_grids(k, w_g):
                 if NSEG == 1:
-                    return grid_segment(k, 0, w_ab)
+                    return grid_segment(k, 0, w_g)
                 outs = [
                     jnp.zeros(
                         (plan.nalloc_x, plan.nalloc_y), jnp.float32
                     )
-                    for _ in range(4)
+                    for _ in range(2 * GP)
                 ]
                 for g in range(NSEG):
-                    parts = grid_segment(k, g, w_ab)
+                    parts = grid_segment(k, g, w_g)
                     outs = [
                         o.at[:, g * SY : g * SY + SEGW].add(part)
                         for o, part in zip(outs, parts)
                     ]
                 return outs
 
-            def pair_contrib(image_accum, k, include_b):
-                w_ab = arrays["plane_w2"][k]
-                gra, gia, grb, gib = pair_grids(k, w_ab)
-                contrib = plane_contrib(
-                    arrays,
-                    _fold_wraps(plan, gra),
-                    _fold_wraps(plan, gia),
-                    w_ab[0],
-                    nm1s_s,
-                )
-                if include_b:
+            def group_contrib(image_accum, k, num_real):
+                # num_real: planes of this group < nplanes (static).
+                # Ragged-tail pad planes have all-zero grids, so their
+                # FFTs are simply skipped.
+                w_g = arrays["plane_wg"][k]
+                grids = group_grids(k, w_g)
+                contrib = image_accum
+                for i in range(num_real):
                     contrib = contrib + plane_contrib(
                         arrays,
-                        _fold_wraps(plan, grb),
-                        _fold_wraps(plan, gib),
-                        w_ab[1],
+                        _fold_wraps(plan, grids[2 * i]),
+                        _fold_wraps(plan, grids[2 * i + 1]),
+                        w_g[i],
                         nm1s_s,
                     )
-                return image_accum + contrib
+                return contrib
 
             inv_corr_s, nm1s_s = geometry_slabs(inv_corr, nm1s)
             image = jnp.zeros((npix, rows_loc), jnp.float32)
-            n_full = plan.nplanes // 2
+            n_full = plan.nplanes // GP
             if n_full:
                 image, _ = lax.scan(
-                    lambda acc, k: (pair_contrib(acc, k, True), None),
+                    lambda acc, k: (group_contrib(acc, k, GP), None),
                     image,
                     jnp.arange(n_full),
                 )
-            if plan.nplanes % 2:
-                # Odd plane count: the final pair's b-half is the pad
-                # plane — its (all-zero) grids are dropped before the
-                # FFT, so only the a-half pays a plane FFT.
-                image = pair_contrib(image, n_full, False)
+            tail = plan.nplanes % GP
+            if tail:
+                image = group_contrib(image, n_full, tail)
             return finalize_image(image, inv_corr_s)
 
-        return invert_pallas_pair
+        return invert_pallas_group
 
     if mode.startswith("pallas"):
         from .pallas_gridder import build_grid_planes_pallas
@@ -1090,7 +1088,7 @@ def build_predict(
         )
 
     degrid_plane = None
-    if mode.startswith("pallas") and not plan.plane_pairs:
+    if mode.startswith("pallas") and plan.plane_group == 1:
         from .pallas_gridder import build_degrid_planes_pallas
 
         degrid_plane = build_degrid_planes_pallas(
@@ -1157,23 +1155,24 @@ def build_predict(
         )
         return pair[:, 0], pair[:, 1]
 
-    if mode.startswith("pallas") and plan.plane_pairs:
-        from .pallas_gridder import build_degrid_planes_pallas_pair
+    if mode.startswith("pallas") and plan.plane_group > 1:
+        from .pallas_gridder import build_degrid_planes_pallas_group
 
-        degrid_pair = build_degrid_planes_pallas_pair(
+        degrid_group = build_degrid_planes_pallas_group(
             plan, interpret=(mode == "pallas_interpret")
         )
+        GP = plan.plane_group
         NSEG = plan.num_y_segments
         SY = plan.seg_lanes
         SEGW = plan.seg_width
 
         @jax.jit
-        def predict_pallas_pair(arrays: dict, image):
+        def predict_pallas_group(arrays: dict, image):
             inv_corr, nm1s = _geometry_maps(plan, arrays)
             img0 = jnp.asarray(image, jnp.float32) * inv_corr
 
-            def degrid_segment(k, g, ra, ia, rb, ib, w_ab):
-                return degrid_pair(
+            def degrid_segment(k, g, grids, w_g):
+                return degrid_group(
                     arrays["step_val"][k, g],
                     arrays["step_aux"][k, g],
                     arrays["step_aux2"][k, g],
@@ -1183,28 +1182,24 @@ def build_predict(
                     arrays["step_count"][k, g][None],
                     jnp.full((1,), g * SY, jnp.int32),
                     arrays["packed"],
-                    ra,
-                    ia,
-                    rb,
-                    ib,
-                    w_ab,
+                    grids,
+                    w_g,
                 )
 
-            def pair_step(acc, k, include_b):
-                w_ab = arrays["plane_w2"][k]
-                ra, ia = _screened_alloc(arrays, img0, w_ab[0], nm1s)
-                if include_b:
-                    rb, ib = _screened_alloc(
-                        arrays, img0, w_ab[1], nm1s
-                    )
-                else:
-                    # Pad plane: its ES w-factor is zero for every
-                    # block, so any grid works — reuse the a-half.
-                    rb, ib = ra, ia
+            def group_step(acc, k, num_real):
+                w_g = arrays["plane_wg"][k]
+                grids = []
+                for i in range(GP):
+                    if i < num_real:
+                        ri, ii = _screened_alloc(
+                            arrays, img0, w_g[i], nm1s
+                        )
+                    # Ragged-tail pad planes: their ES w-factor is
+                    # zero for every block, so any grid works — reuse
+                    # the last real plane's.
+                    grids.extend([ri, ii])
                 if NSEG == 1:
-                    contrib = degrid_segment(
-                        k, 0, ra, ia, rb, ib, w_ab
-                    )
+                    contrib = degrid_segment(k, 0, grids, w_g)
                 else:
                     contrib = jnp.zeros_like(acc)
                     for g in range(NSEG):
@@ -1212,29 +1207,27 @@ def build_predict(
                         contrib = contrib + degrid_segment(
                             k,
                             g,
-                            ra[:, cols],
-                            ia[:, cols],
-                            rb[:, cols],
-                            ib[:, cols],
-                            w_ab,
+                            [a[:, cols] for a in grids],
+                            w_g,
                         )
                 return acc + contrib
 
             acc = jnp.zeros((2, num_slots), jnp.float32)
-            n_full = plan.nplanes // 2
+            n_full = plan.nplanes // GP
             if n_full:
                 acc, _ = lax.scan(
-                    lambda a, k: (pair_step(a, k, True), None),
+                    lambda a, k: (group_step(a, k, GP), None),
                     acc,
                     jnp.arange(n_full),
                 )
-            if plan.nplanes % 2:
-                acc = pair_step(acc, n_full, False)
+            tail = plan.nplanes % GP
+            if tail:
+                acc = group_step(acc, n_full, tail)
             if slot_output:
                 return acc[0], acc[1]
             return _finalize(arrays, acc[0], acc[1])
 
-        return predict_pallas_pair
+        return predict_pallas_group
 
     if mode.startswith("pallas"):
 

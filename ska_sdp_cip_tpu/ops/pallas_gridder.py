@@ -155,15 +155,15 @@ def _dot3_pair_m0(lhs_a, lhs_b, rhs, m):
     return out_a, out_b
 
 
-def _dot3_quad_m(lhs, rhs, m):
+def _dot3_multi_m(lhs, rhs, m):
     """
-    Four f32-accurate (m, B) x (B, n) contractions against a SHARED
-    right operand (the plane-pair kernels' re/im x plane-a/b forms),
-    bf16x3 passes stacked along M: one (8m, B) dot against rhs_hi plus
-    one (4m, B) dot against rhs_lo. Contraction is over the LAST axis
-    of both operands. Same arithmetic per output as
-    :func:`_dot3_pair_m`.
+    N f32-accurate (m, B) x (B, n) contractions against a SHARED right
+    operand (the plane-group kernels' re/im x plane forms), bf16x3
+    passes stacked along M: one (2N m, B) dot against rhs_hi plus one
+    (N m, B) dot against rhs_lo. Contraction is over the LAST axis of
+    both operands. Same arithmetic per output as :func:`_dot3_pair_m`.
     """
+    n = len(lhs)
     contract = (((1,), (1,)), ((), ()))
     his = [x.astype(jnp.bfloat16) for x in lhs]
     los = [
@@ -186,18 +186,19 @@ def _dot3_quad_m(lhs, rhs, m):
     )
     return [
         big[i * m : (i + 1) * m]
-        + big[(4 + i) * m : (5 + i) * m]
+        + big[(n + i) * m : (n + i + 1) * m]
         + cross[i * m : (i + 1) * m]
-        for i in range(4)
+        for i in range(n)
     ]
 
 
-def _dot3_quad_m0(lhs, rhs, m):
+def _dot3_multi_m0(lhs, rhs, m):
     """
-    As :func:`_dot3_quad_m` but contracting the FIRST axis of both
+    As :func:`_dot3_multi_m` but contracting the FIRST axis of both
     operands (the degrid direction), passes stacked along the lhs free
     axis.
     """
+    n = len(lhs)
     contract = (((0,), (0,)), ((), ()))
     his = [x.astype(jnp.bfloat16) for x in lhs]
     los = [
@@ -220,9 +221,9 @@ def _dot3_quad_m0(lhs, rhs, m):
     )
     return [
         big[i * m : (i + 1) * m]
-        + big[(4 + i) * m : (5 + i) * m]
+        + big[(n + i) * m : (n + i + 1) * m]
         + cross[i * m : (i + 1) * m]
-        for i in range(4)
+        for i in range(n)
     ]
 
 
@@ -269,13 +270,14 @@ def _kernel_factors(plan: GridderPlan, pack, wp_ref, wstacking):
     return ax, ay, amp
 
 
-def _kernel_factors_pair(plan: GridderPlan, pack, wp_ref):
+def _kernel_factors_group(plan: GridderPlan, pack, wp_ref):
     """
     VPU build of the separable kernel matrices for one block visiting
-    a PLANE PAIR: shared ax/ay plus per-plane amplitudes. The two w
-    factors are evaluated in one (2, B) transcendental pass. Pair
+    a PLANE GROUP: shared ax/ay plus per-plane amplitudes. The G w
+    factors are evaluated in one (G, B) transcendental pass. Group
     plans exist only when w-stacking is on.
     """
+    G = plan.plane_group
     PX, PY, B, W = plan.patch_x, plan.patch_y, plan.block, plan.support
     xpos = pack[0:1, :]
     ypos = pack[1:2, :]
@@ -297,19 +299,21 @@ def _kernel_factors_pair(plan: GridderPlan, pack, wp_ref):
     inv_whalf = jnp.float32(2.0 / (W * plan.dw))
     z = (
         jnp.concatenate(
-            [wp_ref[0, 0] - ws, wp_ref[0, 1] - ws], axis=0
+            [wp_ref[0, i] - ws for i in range(G)], axis=0
         )
         * inv_whalf
     )
     kw = es_kernel_jnp(z, plan.beta)
     amp = jnp.where(lane, kw, 0.0)
-    return ax, ay, amp[0:1, :], amp[1:2, :]
+    return ax, ay, [amp[i : i + 1, :] for i in range(G)]
 
 
-def _grid_strip_pair_kernel_factory(plan: GridderPlan):
-    """Plane-pair variant of :func:`_grid_strip_kernel_factory`: two
+def _grid_strip_group_kernel_factory(plan: GridderPlan):
+    """Plane-group variant of :func:`_grid_strip_kernel_factory`: G
     adjacent w-planes' strips stay resident and every block visit
-    grids onto both, halving block-steps and sharing the ES build."""
+    grids onto all of them, dividing block-steps by ~G and sharing
+    one ES build across the group."""
+    G = plan.plane_group
     PX, PY = plan.patch_x, plan.patch_y
     B = plan.block
     SX = plan.tile_x
@@ -317,29 +321,15 @@ def _grid_strip_pair_kernel_factory(plan: GridderPlan):
     NS = plan.num_strips
     NY = plan.seg_width
 
-    def kernel(
-        # scalar prefetch
-        step_val,
-        step_aux,
-        first_blk,
-        blk_oy,
-        count,
-        seg_base,
-        # inputs
-        packed_hbm,
-        wp_ref,
-        # outputs (planes a, b)
-        out_re_a,
-        out_im_a,
-        out_re_b,
-        out_im_b,
-        # scratch
-        strip_re,
-        strip_im,
-        pack_buf,
-        in_sems,
-        out_sems,
-    ):
+    def kernel(*refs):
+        (step_val, step_aux, first_blk, blk_oy, count, seg_base) = (
+            refs[:6]
+        )
+        packed_hbm, wp_ref = refs[6:8]
+        outs = refs[8 : 8 + 2 * G]  # re_0, im_0, re_1, im_1, ...
+        strip_re, strip_im, pack_buf, in_sems, out_sems = refs[
+            8 + 2 * G :
+        ]
         j = pl.program_id(0)
         cnt = count[0]
 
@@ -353,8 +343,8 @@ def _grid_strip_pair_kernel_factory(plan: GridderPlan):
 
         @pl.when(j == 0)
         def _():
-            strip_re[0] = jnp.zeros((2, PX, NY), jnp.float32)
-            strip_im[0] = jnp.zeros((2, PX, NY), jnp.float32)
+            strip_re[0] = jnp.zeros((G, PX, NY), jnp.float32)
+            strip_im[0] = jnp.zeros((G, PX, NY), jnp.float32)
             for slot in range(PREFETCH_DEPTH):
                 head = first_blk[slot]
 
@@ -378,34 +368,26 @@ def _grid_strip_pair_kernel_factory(plan: GridderPlan):
         def _():
             b = jnp.maximum(v, 0)
             in_copy(b, par).wait()
-            ax, ay, amp_a, amp_b = _kernel_factors_pair(
+            ax, ay, amps = _kernel_factors_group(
                 plan, pack_buf[par], wp_ref
             )
             vre = pack_buf[par][4:5, :]
             vim = pack_buf[par][5:6, :]
-            pra, pia, prb, pib = _dot3_quad_m(
-                [
-                    ax * (vre * amp_a),
-                    ax * (vim * amp_a),
-                    ax * (vre * amp_b),
-                    ax * (vim * amp_b),
-                ],
-                ay,
-                PX,
-            )
+            lhs = []
+            for amp in amps:
+                lhs.append(ax * (vre * amp))
+                lhs.append(ax * (vim * amp))
+            patches = _dot3_multi_m(lhs, ay, PX)
             oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
-            strip_re[sbuf, 0, :, pl.ds(oy, PY)] = (
-                strip_re[sbuf, 0, :, pl.ds(oy, PY)] + pra
-            )
-            strip_im[sbuf, 0, :, pl.ds(oy, PY)] = (
-                strip_im[sbuf, 0, :, pl.ds(oy, PY)] + pia
-            )
-            strip_re[sbuf, 1, :, pl.ds(oy, PY)] = (
-                strip_re[sbuf, 1, :, pl.ds(oy, PY)] + prb
-            )
-            strip_im[sbuf, 1, :, pl.ds(oy, PY)] = (
-                strip_im[sbuf, 1, :, pl.ds(oy, PY)] + pib
-            )
+            for i in range(G):
+                strip_re[sbuf, i, :, pl.ds(oy, PY)] = (
+                    strip_re[sbuf, i, :, pl.ds(oy, PY)]
+                    + patches[2 * i]
+                )
+                strip_im[sbuf, i, :, pl.ds(oy, PY)] = (
+                    strip_im[sbuf, i, :, pl.ds(oy, PY)]
+                    + patches[2 * i + 1]
+                )
 
         @pl.when(active & (v < 0))
         def _():
@@ -415,28 +397,23 @@ def _grid_strip_pair_kernel_factory(plan: GridderPlan):
 
             def out_copies(buf, strip_idx, rows):
                 r0 = pl.multiple_of(strip_idx * SX, 8)
-                return (
-                    pltpu.make_async_copy(
-                        strip_re.at[buf, 0, pl.ds(0, rows), :],
-                        out_re_a.at[pl.ds(r0, rows), :],
-                        out_sems.at[buf, 0],
-                    ),
-                    pltpu.make_async_copy(
-                        strip_im.at[buf, 0, pl.ds(0, rows), :],
-                        out_im_a.at[pl.ds(r0, rows), :],
-                        out_sems.at[buf, 1],
-                    ),
-                    pltpu.make_async_copy(
-                        strip_re.at[buf, 1, pl.ds(0, rows), :],
-                        out_re_b.at[pl.ds(r0, rows), :],
-                        out_sems.at[buf, 2],
-                    ),
-                    pltpu.make_async_copy(
-                        strip_im.at[buf, 1, pl.ds(0, rows), :],
-                        out_im_b.at[pl.ds(r0, rows), :],
-                        out_sems.at[buf, 3],
-                    ),
-                )
+                copies = []
+                for i in range(G):
+                    copies.append(
+                        pltpu.make_async_copy(
+                            strip_re.at[buf, i, pl.ds(0, rows), :],
+                            outs[2 * i].at[pl.ds(r0, rows), :],
+                            out_sems.at[buf, 2 * i],
+                        )
+                    )
+                    copies.append(
+                        pltpu.make_async_copy(
+                            strip_im.at[buf, i, pl.ds(0, rows), :],
+                            outs[2 * i + 1].at[pl.ds(r0, rows), :],
+                            out_sems.at[buf, 2 * i + 1],
+                        )
+                    )
+                return copies
 
             # The other buffer's writes (strip s-1) must land before
             # the carry roll reuses it.
@@ -447,11 +424,11 @@ def _grid_strip_pair_kernel_factory(plan: GridderPlan):
 
             strip_re[other, :, 0:CARRY, :] = strip_re[cur, :, SX:PX, :]
             strip_re[other, :, CARRY:PX, :] = jnp.zeros(
-                (2, PX - CARRY, NY), jnp.float32
+                (G, PX - CARRY, NY), jnp.float32
             )
             strip_im[other, :, 0:CARRY, :] = strip_im[cur, :, SX:PX, :]
             strip_im[other, :, CARRY:PX, :] = jnp.zeros(
-                (2, PX - CARRY, NY), jnp.float32
+                (G, PX - CARRY, NY), jnp.float32
             )
 
             @pl.when(s < NS - 1)
@@ -470,44 +447,40 @@ def _grid_strip_pair_kernel_factory(plan: GridderPlan):
     return kernel
 
 
-def _degrid_strip_pair_kernel_factory(plan: GridderPlan):
-    """Plane-pair variant of :func:`_degrid_strip_kernel_factory`:
-    each block visit reads both resident plane strips and writes the
-    SUMMED pair contribution, halving block-steps and out-DMAs."""
+def _degrid_strip_group_kernel_factory(plan: GridderPlan):
+    """Plane-group variant of :func:`_degrid_strip_kernel_factory`:
+    each block visit reads all G resident plane strips and writes the
+    SUMMED group contribution, dividing block-steps and out-DMAs by
+    ~G."""
+    G = plan.plane_group
     PX, PY = plan.patch_x, plan.patch_y
     B = plan.block
     SX = plan.tile_x
     NS = plan.num_strips
 
-    def kernel(
-        # scalar prefetch
-        step_val,
-        step_aux,
-        step_aux2,
-        first_blk,
-        last_blks,
-        blk_oy,
-        count,
-        seg_base,
-        # inputs
-        packed_hbm,
-        wp_ref,
-        grid_re_a_hbm,
-        grid_im_a_hbm,
-        grid_re_b_hbm,
-        grid_im_b_hbm,
-        out_in,
-        # outputs (aliased to out_in)
-        out_hbm,
-        # scratch
-        gbuf_re,
-        gbuf_im,
-        pack_buf,
-        con_buf,
-        in_sems,
-        grid_sems,
-        out_sems,
-    ):
+    def kernel(*refs):
+        (
+            step_val,
+            step_aux,
+            step_aux2,
+            first_blk,
+            last_blks,
+            blk_oy,
+            count,
+            seg_base,
+        ) = refs[:8]
+        packed_hbm, wp_ref = refs[8:10]
+        grids_hbm = refs[10 : 10 + 2 * G]  # re_0, im_0, re_1, ...
+        out_hbm = refs[11 + 2 * G]  # refs[10 + 2G] is the zeros alias
+        (
+            gbuf_re,
+            gbuf_im,
+            pack_buf,
+            con_buf,
+            in_sems,
+            grid_sems,
+            out_sems,
+        ) = refs[12 + 2 * G :]
         j = pl.program_id(0)
         cnt = count[0]
 
@@ -521,28 +494,23 @@ def _degrid_strip_pair_kernel_factory(plan: GridderPlan):
 
         def grid_copies(strip_idx, buf):
             r0 = pl.multiple_of(strip_idx * SX, 8)
-            return (
-                pltpu.make_async_copy(
-                    grid_re_a_hbm.at[pl.ds(r0, PX), :],
-                    gbuf_re.at[buf, 0],
-                    grid_sems.at[buf, 0],
-                ),
-                pltpu.make_async_copy(
-                    grid_im_a_hbm.at[pl.ds(r0, PX), :],
-                    gbuf_im.at[buf, 0],
-                    grid_sems.at[buf, 1],
-                ),
-                pltpu.make_async_copy(
-                    grid_re_b_hbm.at[pl.ds(r0, PX), :],
-                    gbuf_re.at[buf, 1],
-                    grid_sems.at[buf, 2],
-                ),
-                pltpu.make_async_copy(
-                    grid_im_b_hbm.at[pl.ds(r0, PX), :],
-                    gbuf_im.at[buf, 1],
-                    grid_sems.at[buf, 3],
-                ),
-            )
+            copies = []
+            for i in range(G):
+                copies.append(
+                    pltpu.make_async_copy(
+                        grids_hbm[2 * i].at[pl.ds(r0, PX), :],
+                        gbuf_re.at[buf, i],
+                        grid_sems.at[buf, 2 * i],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        grids_hbm[2 * i + 1].at[pl.ds(r0, PX), :],
+                        gbuf_im.at[buf, i],
+                        grid_sems.at[buf, 2 * i + 1],
+                    )
+                )
+            return copies
 
         def out_copy(b, par):
             s = pl.multiple_of(b * B, B)
@@ -603,28 +571,26 @@ def _degrid_strip_pair_kernel_factory(plan: GridderPlan):
         def _():
             b = jnp.maximum(v, 0)
             pack_copy(b, par).wait()
-            ax, ay, amp_a, amp_b = _kernel_factors_pair(
+            ax, ay, amps = _kernel_factors_group(
                 plan, pack_buf[par], wp_ref
             )
             oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
-            ta_re, ta_im, tb_re, tb_im = _dot3_quad_m0(
-                [
-                    gbuf_re[sbuf, 0, :, pl.ds(oy, PY)],
-                    gbuf_im[sbuf, 0, :, pl.ds(oy, PY)],
-                    gbuf_re[sbuf, 1, :, pl.ds(oy, PY)],
-                    gbuf_im[sbuf, 1, :, pl.ds(oy, PY)],
-                ],
-                ax,
-                PY,
-            )
-            con_re = (
-                jnp.sum(ta_re * ay, axis=0, keepdims=True) * amp_a
-                + jnp.sum(tb_re * ay, axis=0, keepdims=True) * amp_b
-            )
-            con_im = (
-                jnp.sum(ta_im * ay, axis=0, keepdims=True) * amp_a
-                + jnp.sum(tb_im * ay, axis=0, keepdims=True) * amp_b
-            )
+            lhs = []
+            for i in range(G):
+                lhs.append(gbuf_re[sbuf, i, :, pl.ds(oy, PY)])
+                lhs.append(gbuf_im[sbuf, i, :, pl.ds(oy, PY)])
+            t = _dot3_multi_m0(lhs, ax, PY)
+            con_re = jnp.zeros((1, B), jnp.float32)
+            con_im = jnp.zeros((1, B), jnp.float32)
+            for i in range(G):
+                con_re = con_re + (
+                    jnp.sum(t[2 * i] * ay, axis=0, keepdims=True)
+                    * amps[i]
+                )
+                con_im = con_im + (
+                    jnp.sum(t[2 * i + 1] * ay, axis=0, keepdims=True)
+                    * amps[i]
+                )
 
             @pl.when(prev2 >= 0)
             def _():
@@ -989,18 +955,20 @@ def build_grid_planes_pallas(plan: GridderPlan, *, interpret: bool = False):
     return grid_plane
 
 
-def build_grid_planes_pallas_pair(
+def build_grid_planes_pallas_group(
     plan: GridderPlan, *, interpret: bool = False
 ):
     """
-    Returns ``grid_pair(step_val, step_aux, first_block, block_oy,
-    count, seg_base, data, w_ab) -> (re_a, im_a, re_b, im_b)``: grid
-    one PLANE PAIR's blocks onto two padded uv allocs in one kernel
-    pass (``w_ab`` is the (1, 2) pair of plane w's). Requires a plan
-    built with ``plane_pairs=True`` (its step tables schedule pairs).
+    Returns ``grid_group(step_val, step_aux, first_block, block_oy,
+    count, seg_base, data, w_g) -> [re_0, im_0, ..., re_{G-1},
+    im_{G-1}]``: grid one PLANE GROUP's blocks onto G padded uv allocs
+    in one kernel pass (``w_g`` is the (G,) vector of plane w's).
+    Requires a plan built with ``plane_group == G > 1`` (its step
+    tables schedule groups).
     """
-    if not plan.plane_pairs:
-        raise ValueError("plan was not built with plane_pairs")
+    G = plan.plane_group
+    if G < 2:
+        raise ValueError("plan was not built with plane_group > 1")
     PX = plan.patch_x
     B = plan.block
     NY = plan.seg_width
@@ -1011,24 +979,21 @@ def build_grid_planes_pallas_pair(
         grid=(num_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # packed+vis (8, V)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_ab (1, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_g (1, G)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(2 * G)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
-            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
+            pltpu.VMEM((2, G, PX, NY), jnp.float32),
+            pltpu.VMEM((2, G, PX, NY), jnp.float32),
             pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2 * G)),
         ],
     )
 
-    kernel = _grid_strip_pair_kernel_factory(plan)
+    kernel = _grid_strip_group_kernel_factory(plan)
 
     alloc = jax.ShapeDtypeStruct(
         (plan.nalloc_x, plan.seg_width), jnp.float32
@@ -1036,14 +1001,14 @@ def build_grid_planes_pallas_pair(
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[alloc, alloc, alloc, alloc],
+        out_shape=[alloc] * (2 * G),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
 
-    def grid_pair(
+    def grid_group(
         step_val, step_aux, first_block, block_oy, count, seg_base,
-        data, w_ab,
+        data, w_g,
     ):
         return call(
             step_val,
@@ -1053,24 +1018,26 @@ def build_grid_planes_pallas_pair(
             count,
             seg_base,
             data,
-            w_ab.reshape(1, 2),
+            w_g.reshape(1, G),
         )
 
-    return grid_pair
+    return grid_group
 
 
-def build_degrid_planes_pallas_pair(
+def build_degrid_planes_pallas_group(
     plan: GridderPlan, *, interpret: bool = False
 ):
     """
-    Returns ``degrid_pair(step_val, step_aux, step_aux2, first_block,
-    last_blocks, block_oy, count, seg_base, packed, re_a, im_a, re_b,
-    im_b, w_ab) -> (2, num_vis)``: the SUMMED visibility contributions
-    of one plane pair read off two (already FFT'd and unfolded) uv
-    allocs. The caller accumulates across pairs.
+    Returns ``degrid_group(step_val, step_aux, step_aux2, first_block,
+    last_blocks, block_oy, count, seg_base, packed, grids, w_g)
+    -> (2, num_vis)`` where ``grids`` is the [re_0, im_0, ...] list of
+    G (already FFT'd and unfolded) uv allocs: the SUMMED visibility
+    contributions of one plane group. The caller accumulates across
+    groups.
     """
-    if not plan.plane_pairs:
-        raise ValueError("plan was not built with plane_pairs")
+    G = plan.plane_group
+    if G < 2:
+        raise ValueError("plan was not built with plane_group > 1")
     PX = plan.patch_x
     B = plan.block
     NY = plan.seg_width
@@ -1082,39 +1049,41 @@ def build_degrid_planes_pallas_pair(
         grid=(num_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # packed
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_ab
-            pl.BlockSpec(memory_space=pl.ANY),  # alloc_re_a
-            pl.BlockSpec(memory_space=pl.ANY),  # alloc_im_a
-            pl.BlockSpec(memory_space=pl.ANY),  # alloc_re_b
-            pl.BlockSpec(memory_space=pl.ANY),  # alloc_im_b
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w_g
+        ]
+        + [
+            pl.BlockSpec(memory_space=pl.ANY)  # alloc re/im per plane
+            for _ in range(2 * G)
+        ]
+        + [
             pl.BlockSpec(memory_space=pl.ANY),  # out zeros
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
-            pltpu.VMEM((2, 2, PX, NY), jnp.float32),
+            pltpu.VMEM((2, G, PX, NY), jnp.float32),
+            pltpu.VMEM((2, G, PX, NY), jnp.float32),
             pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
             pltpu.VMEM((NUM_OUT_BUFFERS, 2, B), jnp.float32),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2 * G)),
             pltpu.SemaphoreType.DMA((NUM_OUT_BUFFERS,)),
         ],
     )
 
-    kernel = _degrid_strip_pair_kernel_factory(plan)
+    kernel = _degrid_strip_group_kernel_factory(plan)
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, num_vis), jnp.float32),
-        # out zeros input (position 14 after 8 prefetch + packed, w_ab,
-        # re_a, im_a, re_b, im_b) aliases the output
-        input_output_aliases={14: 0},
+        # out zeros input (position 10 + 2G after 8 prefetch + packed,
+        # w_g, and the 2G alloc inputs) aliases the output
+        input_output_aliases={10 + 2 * G: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
 
-    def degrid_pair(
+    def degrid_group(
         step_val,
         step_aux,
         step_aux2,
@@ -1124,11 +1093,8 @@ def build_degrid_planes_pallas_pair(
         count,
         seg_base,
         packed,
-        re_a,
-        im_a,
-        re_b,
-        im_b,
-        w_ab,
+        grids,
+        w_g,
     ):
         zeros = jnp.zeros((2, num_vis), jnp.float32)
         return call(
@@ -1141,15 +1107,12 @@ def build_degrid_planes_pallas_pair(
             count,
             seg_base,
             packed,
-            w_ab.reshape(1, 2),
-            re_a,
-            im_a,
-            re_b,
-            im_b,
+            w_g.reshape(1, G),
+            *grids,
             zeros,
         )
 
-    return degrid_pair
+    return degrid_group
 
 
 def build_degrid_planes_pallas(

@@ -171,28 +171,43 @@ def max_seg_width(patch_x: int, num_buffers: int = 4) -> int:
     return max(128, (width // 128) * 128)
 
 
-def plane_pair_mode(wstacking: bool, nplanes: int) -> bool:
+def plane_group_of(wstacking: bool, nplanes: int) -> int:
     """
-    Whether the plan's step tables schedule PLANE PAIRS: each kernel
-    call keeps two adjacent w-planes' strips resident and every block
-    visit grids onto both, halving the block-step count (per-step
-    scalar overhead is the dominant kernel cost, see
-    docs/src/performance.rst) and sharing the ES factor build across
-    the pair. The ES w-factor is exactly zero on planes outside a
-    block's window, so pair visits that overhang the window add zeros
-    — accuracy is unchanged. ``CIP_PLANE_PAIR`` overrides ("1"/"0";
-    default auto = on whenever w-stacking yields multiple planes).
+    Number of adjacent w-planes each kernel call keeps resident (the
+    plan's step tables then schedule plane GROUPS): every block visit
+    grids onto all G resident planes, dividing the block-step count by
+    ~G (per-step scalar overhead is the dominant kernel cost, see
+    docs/src/performance.rst) and sharing one ES factor build across
+    the group. The ES w-factor is exactly zero on planes outside a
+    block's window, so group visits overhanging the window add zeros —
+    accuracy is unchanged. The trade: MXU work grows with the window
+    overhang (~(W + G - 1) / W plane-visits of dot work per group
+    pass) and strip buffers take 4G VMEM slots (narrower lane
+    segments). ``CIP_PLANE_GROUP`` overrides (1 disables; the legacy
+    ``CIP_PLANE_PAIR``=0/1 maps to 1/2); default auto = 2 whenever
+    w-stacking yields multiple planes.
     """
     import os
 
-    env = os.environ.get("CIP_PLANE_PAIR", "auto")
-    if env not in ("auto", "0", "1"):
-        raise ValueError("CIP_PLANE_PAIR must be 'auto', '0' or '1'")
-    if env == "0":
-        return False
-    if env == "1":
-        return bool(wstacking) and nplanes >= 2
-    return bool(wstacking) and nplanes >= 2
+    env = os.environ.get("CIP_PLANE_GROUP")
+    if env is None:
+        legacy = os.environ.get("CIP_PLANE_PAIR")
+        if legacy is not None:
+            if legacy not in ("auto", "0", "1"):
+                raise ValueError(
+                    "CIP_PLANE_PAIR must be 'auto', '0' or '1'"
+                )
+            env = {"0": "1", "1": "2", "auto": "auto"}[legacy]
+    if env is None:
+        env = "auto"
+    if not (wstacking and nplanes >= 2):
+        return 1
+    if env == "auto":
+        return 2
+    group = int(env)
+    if group < 1 or group > 8:
+        raise ValueError("CIP_PLANE_GROUP must be in [1, 8]")
+    return group
 
 #: Input-DMA pipeline of the strip kernels: per-block data is fetched
 #: PREFETCH_DEPTH block-steps ahead into NUM_IN_BUFFERS slots, hiding
@@ -294,14 +309,15 @@ class GridderPlan:
     seg_lanes: int = 0
 
     # Strip-kernel step program (see pallas_gridder): per (plane,
-    # y-segment) — or per (plane PAIR, y-segment) when ``plane_pairs``
-    # — the interleaved sequence of block steps (value >= 0) and strip
-    # sentinels (value == -1 - strip); -2 pads inactive tail steps.
+    # y-segment) — or per (plane GROUP, y-segment) when
+    # ``plane_group > 1`` — the interleaved sequence of block steps
+    # (value >= 0) and strip sentinels (value == -1 - strip); -2 pads
+    # inactive tail steps.
     num_strips: int = 0
-    #: Step tables schedule plane PAIRS (see :func:`plane_pair_mode`):
-    #: table row k covers planes (2k, 2k+1); pair kernels grid both
-    #: from one block visit. Row count = ``num_pairs``.
-    plane_pairs: bool = False
+    #: Adjacent w-planes resident per kernel call (see
+    #: :func:`plane_group_of`): step-table row k covers planes
+    #: [k*G, (k+1)*G); group kernels grid all G from one block visit.
+    plane_group: int = 1
     step_val: np.ndarray = field(repr=False, default=None)
     #: Kernel-ready derived columns precomputed by the native engine
     #: in the export pass (None under the numpy fallback;
@@ -329,14 +345,14 @@ class GridderPlan:
         return self.seg_lanes + (self.patch_y - self.tile_y)
 
     @property
-    def num_pairs(self) -> int:
-        """Plane pairs covered by the step tables (pair mode only)."""
-        return (self.nplanes + 1) // 2
+    def num_groups(self) -> int:
+        """Plane groups covered by the step tables."""
+        return -(-self.nplanes // self.plane_group)
 
     @property
     def num_step_rows(self) -> int:
         """First-axis extent of the step tables."""
-        return self.num_pairs if self.plane_pairs else self.nplanes
+        return self.num_groups
 
     def static_signature(self) -> tuple:
         """
@@ -363,7 +379,7 @@ class GridderPlan:
             self.num_y_segments,
             self.seg_lanes,
             self.step_val.shape[-1],
-            self.plane_pairs,
+            self.plane_group,
         )
 
 
@@ -560,7 +576,7 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
             p.patch_y,
             p.block,
             p.wstacking,
-            p.plane_pairs,
+            p.plane_group,
         )
         for p in plans
     }
@@ -610,8 +626,8 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         table[: p.active_table.shape[0], : p.active_table.shape[1]] = (
             p.active_table
         )
-        # Pair-mode tables have one row per plane PAIR.
-        num_rows = (nplanes + 1) // 2 if p.plane_pairs else nplanes
+        # Group-mode tables have one row per plane GROUP.
+        num_rows = -(-nplanes // p.plane_group)
         shape = (num_rows, num_segments, max_steps)
         step_val = np.full(shape, -2, dtype=np.int32)
         step_aux = np.zeros(shape, dtype=np.int32)
@@ -966,9 +982,9 @@ def make_plan(
     # f32 buffers stay within ~10 MB of the chip's ~16 MB VMEM. Wide
     # (production) grids run in several segments, seam-added by the
     # gridder.
-    pairs = plane_pair_mode(wstacking, nplanes)
+    group = plane_group_of(wstacking, nplanes)
     overhang = patch_y - tile_y
-    seg_cap = max_seg_width(patch_x, 8 if pairs else 4)
+    seg_cap = max_seg_width(patch_x, 4 * group)
     num_y_segments = max(
         1, -(-(nalloc_y - overhang) // (seg_cap - overhang))
     )
@@ -1196,11 +1212,11 @@ def make_plan(
         if num_blocks
         else np.zeros(0, dtype=np.int64)
     )
-    # Pair mode: table row k schedules planes (2k, 2k+1) — a block is
-    # active on row k when its plane window intersects the pair.
-    if pairs:
-        row_lo, row_hi = plane_lo // 2, plane_hi // 2
-        num_rows = (nplanes + 1) // 2
+    # Group mode: table row k schedules planes [k*G, (k+1)*G) — a
+    # block is active on row k when its plane window intersects them.
+    if group > 1:
+        row_lo, row_hi = plane_lo // group, plane_hi // group
+        num_rows = -(-nplanes // group)
     else:
         row_lo, row_hi, num_rows = plane_lo, plane_hi, nplanes
     step_tables = build_step_tables(
@@ -1259,7 +1275,7 @@ def make_plan(
         quad_nodes=quad_nodes,
         quad_folded=quad_folded,
         num_strips=num_strips,
-        plane_pairs=pairs,
+        plane_group=group,
         num_y_segments=num_y_segments,
         seg_lanes=seg_lanes,
         packed=slot_packed,

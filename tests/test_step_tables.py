@@ -130,7 +130,7 @@ def test_padded_plane_rows_match_kernel_parity_decode():
         "nplanes": plan.nplanes + 3,
         "max_steps": plan.step_val.shape[-1],
     })
-    # Step-table rows are plane PAIRS when plane_pairs is on; padding
+    # Step-table rows are plane GROUPS when plane_group > 1; padding
     # rows start after the original plan's rows either way.
     for p in range(plan.num_step_rows, padded.num_step_rows):
         for g in range(padded.num_y_segments):
