@@ -150,9 +150,8 @@ def main() -> None:
 
     # A third variant binding IncrementalStMan for the slowly-varying
     # scalars (TIME/UVW/WEIGHT), the way CASA-written observatory MSs
-    # do. The native reader does not decode ISM yet; this artifact
-    # exists so ISM support can be developed offline against real
-    # format bytes (check into tests/data/ alongside the others).
+    # do — validates the native reader's ISM decode (also check into
+    # tests/data/ alongside the others for the local golden test).
     ism_path = outdir / "mini_ism.ms"
     ism_dminfo = {
         "*1": {

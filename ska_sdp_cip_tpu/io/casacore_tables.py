@@ -17,10 +17,12 @@ ingest needs (SURVEY 2b row 2):
 * subtable directories (SPECTRAL_WINDOW, POLARIZATION, FIELD, ...).
 
 TiledColumnStMan hypercubes (the manager real observatory MSs bind
-for DATA/FLAG) decode through :class:`TSMFile`; IncrementalStMan and
-TiledShapeStMan are detected and rejected with a clear error (MSs
-binding those must be ingested where python-casacore is available,
-for now).
+for DATA/FLAG) decode through :class:`TSMFile`; IncrementalStMan
+change-point columns (TIME, FIELD_ID, UVW, ... in CASA-written MSs)
+decode through :class:`ISMFile`. TiledShapeStMan and string/
+variable-shape ISM columns are detected and rejected with a clear
+error (MSs binding those must be ingested where python-casacore is
+available, for now).
 
 Format ground truth
 -------------------
@@ -979,16 +981,269 @@ class TSMFile:
 
 
 class ISMFile:
-    """IncrementalStMan — not yet supported (real MSs bind it for
-    slowly-varying scalars; the CI fixture's default_ms binds SSM).
+    """
+    IncrementalStMan bucket file (``table.f<seq>``) — the manager
+    CASA-written observatory MSs bind for slowly-varying scalars
+    (TIME, EXPOSURE, FIELD_ID, FLAG_ROW, ...) and small fixed-shape
+    arrays (UVW, WEIGHT). ISM stores a value only where it CHANGES:
+    each bucket covers a row interval and holds, per bound column, a
+    list of (start row, value) pairs; a row's value is the latest pair
+    at or before it.
+
+    Layout (tables/DataMan/ISMBase.cc, ISMBucket.cc, ISMIndex.cc):
+
+    * header region at offset 0: AipsIO 'IncrementalStMan' frame with
+      (bucketSize, nrBuckets, persistent cache size, free-bucket
+      count/head, ...);
+    * fixed-size data buckets from offset 512, each laid out as
+      ``[uInt index_offset][data values ...][index]`` where the index
+      holds, per bound column in binding order,
+      ``[uInt nused][nused x uInt relative start rows]
+      [nused x uInt value offsets within the bucket]``. Every bucket
+      restates each column's current value at its first row (interval
+      starts at relative row 0), so buckets decode independently;
+    * an 'ISMIndex' AipsIO frame mapping row intervals to bucket
+      numbers (located by frame scan, placement-independent).
+
+    Values are canonical big-endian; Bool cells are bit-packed
+    (``ceil(nitems / 8)`` bytes, LSB first). Variable-shape (indirect)
+    arrays and strings are rejected loudly. As with the SSM/TSM
+    decoders, byte-exactness against real casacore output is asserted
+    by the ingest-casacore CI equality job (this environment cannot
+    produce real bytes); every structural assumption below raises
+    :class:`CasacoreFormatError` with context rather than returning
+    garbage.
     """
 
-    def __init__(self, path: Path, num_rows: int, binding):
-        raise CasacoreFormatError(
-            "IncrementalStMan columns are not supported by the native "
-            f"reader yet ({path}); ingest this MS where python-"
-            "casacore is available"
-        )
+    def __init__(
+        self, path: Path, num_rows: int, binding: DataManagerBinding
+    ):
+        self.path = path
+        self.num_rows = num_rows
+        self.binding = binding
+        self.data = path.read_bytes()
+        self._parse_header()
+        self._parse_index()
 
-    def read_column(self, desc):  # pragma: no cover
-        raise NotImplementedError
+    def _parse_header(self) -> None:
+        io = AipsIOReader(self.data)
+        probe = _TableDatParser(self.data, self.path)
+        if probe._frame_at(0, b"IncrementalStMan"):
+            io.pos = 0
+        elif probe._frame_at(4, b"IncrementalStMan"):
+            io.pos = 4
+        else:
+            raise CasacoreFormatError(
+                f"no 'IncrementalStMan' header frame in {self.path}"
+            )
+        _, self.version, _end = io.getstart("IncrementalStMan")
+        # Version >= 5 prefixes a Bool endianness flag (casacore
+        # ISMBase::readHeader); earlier versions start at bucketSize.
+        mark = io.pos
+        if self.version >= 5:
+            io.pos += 1
+        self.bucket_size = io.get_uint()
+        self.nr_buckets = io.get_uint()
+        if not (512 <= self.bucket_size <= (1 << 24)):
+            # Field-order fallback: no endian flag after all.
+            io.pos = mark
+            self.bucket_size = io.get_uint()
+            self.nr_buckets = io.get_uint()
+        if not (512 <= self.bucket_size <= (1 << 24)):
+            raise CasacoreFormatError(
+                f"implausible ISM bucket size {self.bucket_size} in "
+                f"{self.path} (header field order mismatch?)"
+            )
+
+    def _bucket(self, b: int) -> bytes:
+        off = _SSM_HEADER_AREA + b * self.bucket_size
+        if off + self.bucket_size > len(self.data):
+            raise CasacoreFormatError(
+                f"ISM bucket {b} beyond EOF in {self.path}"
+            )
+        return self.data[off : off + self.bucket_size]
+
+    def _parse_index(self) -> None:
+        """
+        Row-interval -> bucket mapping from the framed 'ISMIndex'
+        object: (nused, row boundaries[nused+1], bucketNr[nused]).
+        Row boundaries are uInt (v1) or Int64 (v>=2, 64-bit row
+        numbers); both are probed. Single-bucket fallback when no
+        index frame parses and exactly one bucket exists.
+        """
+        marker = struct.pack(">I", 8) + b"ISMIndex"
+        self.intervals: list[tuple[int, int, int]] = []
+        pos = self.data.find(marker)
+        while pos >= 4:
+            try:
+                io = AipsIOReader(self.data, pos - 4)
+                _, version, _end = io.getstart("ISMIndex")
+                nused = io.get_uint()
+                if not (1 <= nused <= 1_000_000):
+                    raise CasacoreFormatError("implausible ISMIndex")
+                # putBlock framing: [uInt n][n values]
+                def _block(reader, wide):
+                    n = reader.get_uint()
+                    if n > 2_000_000:
+                        raise CasacoreFormatError(
+                            "implausible ISMIndex block"
+                        )
+                    get = (
+                        reader.get_int64 if wide else reader.get_uint
+                    )
+                    return [get() for _ in range(n)]
+
+                wide = version >= 2
+                mark = io.pos
+                try:
+                    rows = _block(io, wide)
+                    buckets = _block(io, False)
+                except CasacoreFormatError:
+                    io.pos = mark
+                    rows = _block(io, not wide)
+                    buckets = _block(io, False)
+                if (
+                    len(rows) >= nused + 1
+                    and len(buckets) >= nused
+                    and rows[0] == 0
+                    and rows[nused] >= self.num_rows
+                    and all(
+                        rows[i] < rows[i + 1] for i in range(nused)
+                    )
+                ):
+                    self.intervals = [
+                        (rows[i], rows[i + 1], buckets[i])
+                        for i in range(nused)
+                    ]
+                    break
+            except (CasacoreFormatError, struct.error):
+                pass
+            pos = self.data.find(marker, pos + 1)
+        if not self.intervals:
+            if self.nr_buckets <= 1:
+                self.intervals = [(0, self.num_rows, 0)]
+            else:
+                raise CasacoreFormatError(
+                    f"no parseable ISMIndex frame in {self.path} "
+                    f"({self.nr_buckets} buckets)"
+                )
+
+    def _bucket_index(
+        self, raw: bytes, ncols: int, bucket_rows: int
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per-column (relative start rows, value offsets) lists."""
+        (idx_off,) = struct.unpack_from(">I", raw, 0)
+        if not (4 <= idx_off < self.bucket_size):
+            raise CasacoreFormatError(
+                f"ISM bucket index offset {idx_off} out of range in "
+                f"{self.path}"
+            )
+        pos = idx_off
+        out = []
+        for c in range(ncols):
+            (nused,) = struct.unpack_from(">I", raw, pos)
+            pos += 4
+            if not (1 <= nused <= self.bucket_size // 8):
+                raise CasacoreFormatError(
+                    f"implausible ISM bucket column {c} entry count "
+                    f"{nused} in {self.path}"
+                )
+            rows = np.frombuffer(
+                raw, ">u4", count=nused, offset=pos
+            ).astype(np.int64)
+            pos += 4 * nused
+            offs = np.frombuffer(
+                raw, ">u4", count=nused, offset=pos
+            ).astype(np.int64)
+            pos += 4 * nused
+            if rows[0] != 0 or np.any(np.diff(rows) <= 0):
+                raise CasacoreFormatError(
+                    f"ISM bucket column {c} start rows not ascending "
+                    f"from 0 in {self.path}"
+                )
+            if rows[-1] >= max(bucket_rows, 1):
+                raise CasacoreFormatError(
+                    f"ISM bucket column {c} start row {rows[-1]} "
+                    f">= interval rows {bucket_rows} in {self.path}"
+                )
+            if np.any(offs < 4) or np.any(offs >= idx_off):
+                raise CasacoreFormatError(
+                    f"ISM bucket column {c} value offsets escape the "
+                    f"data area in {self.path}"
+                )
+            out.append((rows, offs))
+        return out
+
+    def read_column(self, desc: ColumnDesc) -> np.ndarray:
+        cols = self.binding.column_descs
+        try:
+            col_pos = [c.name for c in cols].index(desc.name)
+        except ValueError:
+            raise CasacoreFormatError(
+                f"{desc.name} not bound to ISM file {self.path}"
+            )
+        if desc.value_type == TP_STRING:
+            raise CasacoreFormatError(
+                f"ISM string column {desc.name} is not supported by "
+                "the native reader"
+            )
+        if desc.is_array and not desc.shape:
+            raise CasacoreFormatError(
+                f"ISM variable-shape array column {desc.name} is not "
+                "supported by the native reader"
+            )
+        nitems = int(np.prod(desc.shape)) if desc.is_array else 1
+        is_bool = desc.value_type == TP_BOOL
+        if is_bool:
+            out = np.empty((self.num_rows, nitems), bool)
+            val_bytes = (nitems + 7) // 8
+        else:
+            dtype = _DTYPES.get(desc.value_type)
+            if dtype is None:
+                raise CasacoreFormatError(
+                    f"unsupported ISM value type {desc.value_type} "
+                    f"for column {desc.name}"
+                )
+            out = np.empty((self.num_rows, nitems), dtype)
+            val_bytes = nitems * dtype.itemsize
+
+        for row0, row1, bucket in self.intervals:
+            row1 = min(row1, self.num_rows)
+            if row1 <= row0:
+                continue
+            raw = self._bucket(bucket)
+            rows, offs = self._bucket_index(
+                raw, len(cols), row1 - row0
+            )[col_pos]
+            # Interval i covers relative rows [rows[i], next_start).
+            bounds = np.append(rows, row1 - row0)
+            for i in range(len(rows)):
+                off = int(offs[i])
+                if off + val_bytes > len(raw):
+                    raise CasacoreFormatError(
+                        f"ISM value at {off} beyond bucket end in "
+                        f"{self.path}"
+                    )
+                if is_bool:
+                    bits = np.unpackbits(
+                        np.frombuffer(
+                            raw, np.uint8, count=val_bytes, offset=off
+                        ),
+                        bitorder="little",
+                    )
+                    value = bits[:nitems].astype(bool)
+                else:
+                    value = np.frombuffer(
+                        raw, dtype, count=nitems, offset=off
+                    )
+                out[row0 + bounds[i] : row0 + bounds[i + 1]] = value
+
+        if not is_bool and out.dtype.byteorder == ">":
+            out = out.astype(out.dtype.newbyteorder("="))
+        if desc.is_array:
+            # Fortran cell order on disk -> C order per row.
+            cell = tuple(int(s) for s in desc.shape)[::-1]
+            return np.ascontiguousarray(
+                out.reshape((self.num_rows,) + cell)
+            )
+        return np.ascontiguousarray(out.reshape(self.num_rows))

@@ -417,3 +417,169 @@ def test_read_tiled_column(tmp_path):
     tbl = read_table(path)
     got = tbl.getcol("DATA")
     np.testing.assert_array_equal(got, data)
+
+
+# ----------------------------------------------------------------------
+# IncrementalStMan plumbing (self-consistent format)
+# ----------------------------------------------------------------------
+
+
+def _write_fake_ism_table(path: Path, num_rows, bucket_rows, columns):
+    """
+    columns: list of (name, vt, is_array, shape, per_row_values) where
+    per_row_values has one entry per row (the writer stores only the
+    change points, as ISM does). Splits rows into buckets of
+    ``bucket_rows`` and appends the ISMIndex frame after the buckets.
+    """
+    path.mkdir(parents=True, exist_ok=True)
+    cols_payload = bytearray()
+    for name, vt, is_array, shape, _vals in columns:
+        cols_payload += _column_desc_frame(
+            name, vt, is_array, shape, "IncrementalStMan", 1
+        )
+    desc = _Writer()
+    desc.frame("TableDesc", 1, bytes(cols_payload))
+    tab = _Writer()
+    tab.uint(num_rows)
+    tab.uint(0)
+    tab.string("fake")
+    tab.buf += desc.buf
+    top = _Writer()
+    top.frame("Table", 2, bytes(tab.buf))
+    (path / "table.dat").write_bytes(bytes(top.buf))
+
+    bucket_size = 2048
+    starts = list(range(0, num_rows, bucket_rows))
+    nbuckets = len(starts)
+
+    hdr = _Writer()
+    hp = _Writer()
+    hp.uint(bucket_size)
+    hp.uint(nbuckets)
+    hdr.frame("IncrementalStMan", 3, bytes(hp.buf))
+    blob = bytearray(hdr.buf)
+    blob += b"\x00" * (512 - len(blob))
+
+    for b, row0 in enumerate(starts):
+        row1 = min(row0 + bucket_rows, num_rows)
+        bucket = bytearray(bucket_size)
+        data_off = 4
+        per_col_index = []
+        for name, vt, is_array, shape, vals in columns:
+            rows, offs = [], []
+            prev = None
+            for r in range(row0, row1):
+                cell = np.asarray(vals[r])
+                if prev is not None and np.array_equal(cell, prev):
+                    continue
+                prev = cell
+                rows.append(r - row0)
+                offs.append(data_off)
+                if vt == TP_BOOL:
+                    raw = np.packbits(
+                        cell.reshape(-1).astype(np.uint8),
+                        bitorder="little",
+                    ).tobytes()
+                else:
+                    flat = np.ascontiguousarray(cell).reshape(-1)
+                    # Disk cells are Fortran order; 1-D cells and
+                    # scalars are order-agnostic (test uses those).
+                    raw = flat.astype(
+                        flat.dtype.newbyteorder(">")
+                    ).tobytes()
+                bucket[data_off : data_off + len(raw)] = raw
+                data_off += len(raw)
+            per_col_index.append((rows, offs))
+        idx_off = data_off
+        struct.pack_into(">I", bucket, 0, idx_off)
+        pos = idx_off
+        for rows, offs in per_col_index:
+            struct.pack_into(">I", bucket, pos, len(rows))
+            pos += 4
+            for v in rows:
+                struct.pack_into(">I", bucket, pos, v)
+                pos += 4
+            for v in offs:
+                struct.pack_into(">I", bucket, pos, v)
+                pos += 4
+        assert pos <= bucket_size
+        blob += bucket
+
+    # ISMIndex frame (version 1: uInt row boundaries), putBlock
+    # framing [uInt n][values].
+    ip = _Writer()
+    ip.uint(nbuckets)
+    ip.uint(nbuckets + 1)
+    for row0 in starts:
+        ip.uint(row0)
+    ip.uint(num_rows)
+    ip.uint(nbuckets)
+    for b in range(nbuckets):
+        ip.uint(b)
+    idx = _Writer()
+    idx.frame("ISMIndex", 1, bytes(ip.buf))
+    blob += idx.buf
+    (path / "table.f0").write_bytes(bytes(blob))
+
+
+def test_read_ism_columns(tmp_path):
+    """Scalar double/int/bool + fixed-shape array columns bound to
+    IncrementalStMan, change-point storage over several buckets."""
+    rng = np.random.default_rng(11)
+    nrow = 23
+    # Slowly-varying values with runs (the layout ISM exists for)
+    time_vals = np.repeat(
+        5e9 + np.arange(6) * 30.0, 4
+    )[:nrow]
+    field = np.repeat([0, 1, 0], 8)[:nrow].astype(np.int32)
+    flag_row = (np.arange(nrow) % 7 == 3)
+    uvw = np.repeat(
+        rng.normal(size=(5, 3)), 5, axis=0
+    )[:nrow]
+
+    path = tmp_path / "fake_ism.tbl"
+    _write_fake_ism_table(
+        path,
+        nrow,
+        bucket_rows=8,
+        columns=[
+            ("TIME", TP_DOUBLE, False, (), time_vals),
+            ("FIELD_ID", 5, False, (), field),  # TP_INT
+            ("FLAG_ROW", TP_BOOL, False, (), flag_row),
+            ("UVW", TP_DOUBLE, True, (3,), uvw),
+        ],
+    )
+    tbl = read_table(path)
+    np.testing.assert_array_equal(tbl.getcol("TIME"), time_vals)
+    np.testing.assert_array_equal(tbl.getcol("FIELD_ID"), field)
+    np.testing.assert_array_equal(tbl.getcol("FLAG_ROW"), flag_row)
+    np.testing.assert_allclose(tbl.getcol("UVW"), uvw)
+
+
+def test_ism_rejects_variable_shape(tmp_path):
+    path = tmp_path / "fake_ism_var.tbl"
+    _write_fake_ism_table(
+        path,
+        4,
+        bucket_rows=4,
+        columns=[("TIME", TP_DOUBLE, False, (), np.arange(4.0))],
+    )
+    # Rewrite table.dat with a variable-shape array column bound to ISM
+    cols_payload = bytearray(
+        _column_desc_frame(
+            "BLOB", TP_DOUBLE, True, (), "IncrementalStMan", 0
+        )
+    )
+    desc = _Writer()
+    desc.frame("TableDesc", 1, bytes(cols_payload))
+    tab = _Writer()
+    tab.uint(4)
+    tab.uint(0)
+    tab.string("fake")
+    tab.buf += desc.buf
+    top = _Writer()
+    top.frame("Table", 2, bytes(tab.buf))
+    (path / "table.dat").write_bytes(bytes(top.buf))
+    tbl = read_table(path)
+    with pytest.raises(CasacoreFormatError, match="variable-shape"):
+        tbl.getcol("BLOB")
