@@ -1165,6 +1165,11 @@ def build_predict(
         NSEG = plan.num_y_segments
         SY = plan.seg_lanes
         SEGW = plan.seg_width
+        # TIMING-ONLY ablations producing WRONG visibilities (see the
+        # invert's CIP_ABLATE=nofft): "nodegrid" skips the degrid
+        # kernel (isolates the screen/FFT/unfold side), "nofft" feeds
+        # the kernel zero allocs (isolates the degrid kernel).
+        ablate = __import__("os").environ.get("CIP_ABLATE")
 
         @jax.jit
         def predict_pallas_group(arrays: dict, image):
@@ -1190,7 +1195,12 @@ def build_predict(
                 w_g = arrays["plane_wg"][k]
                 grids = []
                 for i in range(GP):
-                    if i < num_real:
+                    if ablate == "nofft":
+                        ri = ii = jnp.zeros(
+                            (plan.nalloc_x, plan.nalloc_y),
+                            jnp.float32,
+                        )
+                    elif i < num_real:
                         ri, ii = _screened_alloc(
                             arrays, img0, w_g[i], nm1s
                         )
@@ -1198,6 +1208,10 @@ def build_predict(
                     # zero for every block, so any grid works — reuse
                     # the last real plane's.
                     grids.extend([ri, ii])
+                if ablate == "nodegrid":
+                    # Depend on every alloc so none is DCE'd away.
+                    total = sum(g[0, 0] for g in grids)
+                    return acc + total
                 if NSEG == 1:
                     contrib = degrid_segment(k, 0, grids, w_g)
                 else:
