@@ -256,6 +256,70 @@ def main() -> None:
     # time-to-dirty-image — plan + stage + one invert execution.
     time_to_dirty = plan_seconds + stage_seconds + invert_seconds
 
+    # On-hardware accuracy gate, every bench run: the compiled Pallas
+    # kernel vs the independent XLA path at a small size (the Pallas
+    # DMA pipelines cannot be race-tested in interpret mode; this
+    # makes the cross-check an automated gate rather than an opt-in
+    # probe). Cheap: two small warm-cache compiles.
+    check_uvw, _ = synthetic_uvw(
+        3, 24, max_baseline_m=5000.0, seed=77
+    )
+    check_freqs = np.linspace(1.4e9, 1.45e9, 3)
+    check_plan = make_plan(
+        check_uvw,
+        check_freqs,
+        256,
+        pixel_size_lm,
+        epsilon=EPSILON,
+        export_coords=True,
+    )
+    from ska_sdp_cip_tpu.ops.gridder import plan_host_arrays
+
+    check_arrays = {
+        k: jnp.asarray(v)
+        for k, v in plan_host_arrays(
+            check_plan, gridder="xla"
+        ).items()
+    }
+    nvis_c = check_plan.num_vis
+    check_re = np.zeros(nvis_c, np.float32)
+    check_im = np.zeros(nvis_c, np.float32)
+    cvis = rng.normal(size=2 * check_plan.num_vis_data).astype(
+        np.float32
+    )
+    check_re[: check_plan.num_vis_data] = cvis[
+        : check_plan.num_vis_data
+    ]
+    check_im[: check_plan.num_vis_data] = cvis[
+        check_plan.num_vis_data :
+    ]
+    pallas_mode = (
+        "pallas_interpret"
+        if jax.default_backend() == "cpu"
+        else "pallas"
+    )
+    img_pallas = np.asarray(
+        build_invert(check_plan, gridder=pallas_mode)(
+            check_arrays, jnp.asarray(check_re), jnp.asarray(check_im)
+        )
+    )
+    img_xla = np.asarray(
+        build_invert(check_plan, gridder="xla")(
+            check_arrays, jnp.asarray(check_re), jnp.asarray(check_im)
+        )
+    )
+    accuracy_rel = float(
+        np.abs(img_pallas - img_xla).max() / np.abs(img_xla).max()
+    )
+    if not (np.isfinite(accuracy_rel) and accuracy_rel < 1e-4):
+        print(
+            json.dumps(
+                {"error": "pallas-vs-xla mismatch", "rel": accuracy_rel}
+            ),
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     result = {
         "metric": "gridded visibilities/sec/chip",
         "value": round(vis_per_sec, 1),
@@ -288,6 +352,7 @@ def main() -> None:
         "predict_mvis_per_s": round(
             num_vis / predict_seconds / 1e6, 2
         ),
+        "pallas_vs_xla_max_rel": accuracy_rel,
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

@@ -249,10 +249,14 @@ def build_slot_plan(
             "block_oy": alloc_populated(padded, np.int32),
             "bin_lo": alloc_populated(padded, np.int32),
             "bin_hi": alloc_populated(padded, np.int32),
-            # Kernel-ready derived columns, same export pass:
+            # Kernel-ready derived columns, same export pass. Only the
+            # 4 real rows (xpos, ypos, ws, len) are materialized and
+            # staged; the drivers assemble the kernels' (8, V) DMA
+            # layout on device (visibility rows 4/5 are per-call data,
+            # rows 6/7 alignment padding).
             "packed": alloc_populated(
-                8 * num_slots, np.float32
-            ).reshape(8, num_slots),
+                4 * num_slots, np.float32
+            ).reshape(4, num_slots),
             "flip_sign": alloc_populated(num_slots, np.float32),
             "phase_cos": alloc_populated(num_slots, np.float32),
             "phase_sin": alloc_populated(num_slots, np.float32),

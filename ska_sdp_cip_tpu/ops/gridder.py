@@ -800,7 +800,19 @@ def build_invert(
                 re, im = _prepare_sorted_vis(
                     plan, arrays, vis_re, vis_im
                 )
-            data = arrays["packed"].at[4].set(re).at[5].set(im)
+            # Assemble the kernels' (8, V) DMA layout on device:
+            # 4 staged plan rows + the split visibilities + 2
+            # alignment-pad rows (one fused HBM materialization, the
+            # same cost the previous in-place row splice paid).
+            data = jnp.concatenate(
+                [
+                    arrays["packed"],
+                    re[None],
+                    im[None],
+                    jnp.zeros((2, re.shape[0]), jnp.float32),
+                ],
+                axis=0,
+            )
 
             def grid_segment(k, g, w_g):
                 return grid_group(
@@ -882,7 +894,19 @@ def build_invert(
                 )
             # Splice the split visibilities into the packed rows so
             # each block-step costs a single input DMA.
-            data = arrays["packed"].at[4].set(re).at[5].set(im)
+            # Assemble the kernels' (8, V) DMA layout on device:
+            # 4 staged plan rows + the split visibilities + 2
+            # alignment-pad rows (one fused HBM materialization, the
+            # same cost the previous in-place row splice paid).
+            data = jnp.concatenate(
+                [
+                    arrays["packed"],
+                    re[None],
+                    im[None],
+                    jnp.zeros((2, re.shape[0]), jnp.float32),
+                ],
+                axis=0,
+            )
 
             NSEG = plan.num_y_segments
             SY = plan.seg_lanes
@@ -1175,6 +1199,15 @@ def build_predict(
         def predict_pallas_group(arrays: dict, image):
             inv_corr, nm1s = _geometry_maps(plan, arrays)
             img0 = jnp.asarray(image, jnp.float32) * inv_corr
+            # (8, V) DMA layout: rows 4-7 are never read by degrid.
+            num_v = arrays["packed"].shape[1]
+            data = jnp.concatenate(
+                [
+                    arrays["packed"],
+                    jnp.zeros((4, num_v), jnp.float32),
+                ],
+                axis=0,
+            )
 
             def degrid_segment(k, g, grids, w_g):
                 return degrid_group(
@@ -1186,7 +1219,7 @@ def build_predict(
                     arrays["block_oy"],
                     arrays["step_count"][k, g][None],
                     jnp.full((1,), g * SY, jnp.int32),
-                    arrays["packed"],
+                    data,
                     grids,
                     w_g,
                 )
@@ -1253,6 +1286,15 @@ def build_predict(
         def predict_pallas(arrays: dict, image):
             inv_corr, nm1s = _geometry_maps(plan, arrays)
             img0 = jnp.asarray(image, jnp.float32) * inv_corr
+            # (8, V) DMA layout: rows 4-7 are never read by degrid.
+            num_v = arrays["packed"].shape[1]
+            data = jnp.concatenate(
+                [
+                    arrays["packed"],
+                    jnp.zeros((4, num_v), jnp.float32),
+                ],
+                axis=0,
+            )
 
             def degrid_segment(p, g, alloc_re, alloc_im, w_p):
                 return degrid_plane(
@@ -1264,7 +1306,7 @@ def build_predict(
                     arrays["block_oy"],
                     arrays["step_count"][p, g][None],
                     jnp.full((1,), g * SY, jnp.int32),
-                    arrays["packed"],
+                    data,
                     alloc_re,
                     alloc_im,
                     w_p,
@@ -1422,7 +1464,9 @@ def dirty_image(
         do_wstacking=do_wstacking,
         sigma=sigma,
     )
-    arrays = plan_device_arrays(plan)
+    # Slot-mode staging: the data is staged through the host path, so
+    # the device never reads the order/phase transform columns.
+    arrays = plan_device_arrays(plan, slot_mode=True)
     invert = build_invert(plan, slot_input=True)
     weighted = np.asarray(visibilities, np.complex64) * np.asarray(
         weights, np.float32

@@ -57,26 +57,29 @@ from .plan import (
     GridderPlan,
 )
 
-#: Packed per-visibility rows: xpos, ypos, ws, block_len (broadcast);
-#: rows 4/5 are filled with the split weighted visibilities on device
-#: by the invert path so each block needs ONE input DMA.
+#: Kernel DMA rows: xpos, ypos, ws, block_len (broadcast), split
+#: visibilities (re, im), 2 alignment-pad rows — an (8, B) slice is a
+#: whole f32 sublane tile, so each block needs ONE aligned input DMA.
+#: Only the first PACK_REAL rows are staged from the host; the drivers
+#: assemble the (8, V) layout on device per call.
 PACK_COLS = 8
+PACK_REAL = 4
 
 
 def pack_plan_columns(plan: GridderPlan) -> np.ndarray:
     """
-    (8, num_vis) f32 packed per-visibility plan data (one DMA/block).
-    Positions are stored patch-relative (coordinate minus the block's
-    patch origin) so kernel arguments keep full float32 precision on
-    arbitrarily large grids; the block length rides along as a
-    broadcast row so the kernel's lane mask needs no SMEM lookup.
+    (4, num_vis) f32 packed per-visibility plan data. Positions are
+    stored patch-relative (coordinate minus the block's patch origin)
+    so kernel arguments keep full float32 precision on arbitrarily
+    large grids; the block length rides along as a broadcast row so
+    the kernel's lane mask needs no SMEM lookup.
     """
     num = plan.num_vis
     slot_block = np.arange(num) // plan.block
     # Pre-faulted zeros: a 200 MB np.zeros pays erratic single-thread
     # page faults on lazily-backed VM memory (utils/hostmem.py).
-    packed = alloc_populated(PACK_COLS * num, np.float32).reshape(
-        PACK_COLS, num
+    packed = alloc_populated(PACK_REAL * num, np.float32).reshape(
+        PACK_REAL, num
     )
     packed[0] = (
         plan.x0 - plan.block_ox[slot_block]

@@ -660,7 +660,9 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         # x0/y0 = support, fx/fy = 0.5, ws = 0 => phase (1, 0)).
         if p.packed is not None and p.packed.shape[1] < num_vis:
             extra = num_vis - p.packed.shape[1]
-            pad_cols = np.zeros((8, extra), np.float32)
+            pad_cols = np.zeros(
+                (p.packed.shape[0], extra), np.float32
+            )
             pad_cols[0] = p.support + 0.5
             pad_cols[1] = p.support + 0.5
             packed = np.concatenate([p.packed, pad_cols], axis=1)
