@@ -222,11 +222,17 @@ def plan_host_arrays(
             }
         )
     if plan.packed is not None:
-        arrays["packed"] = plan.packed
+        packed4 = plan.packed
     else:
         from .pallas_gridder import pack_plan_columns
 
-        arrays["packed"] = pack_plan_columns(plan)
+        packed4 = pack_plan_columns(plan)
+    # Stage only the 3 per-slot rows (xpos, ypos, ws): the block-length
+    # row is a per-BLOCK broadcast, rebuilt on device from the ~KB
+    # block_len table (_kernel_dma_rows) — ~25% less plan staging
+    # through the relay per 7M-slot plan.
+    arrays["packed"] = packed4[:3]
+    arrays["blk_lenf"] = plan.block_len.astype(np.float32)
     # Shifted factors: fftshift/ifftshift ride inside the DFT
     # matrices instead of costing full-array roll passes.
     fft_plan = make_fft_plan(plan.ngrid, shifted=True)
@@ -261,6 +267,32 @@ def plan_host_arrays(
             )
         )
     return arrays
+
+
+def _kernel_dma_rows(plan: GridderPlan, arrays: dict, re=None, im=None):
+    """
+    Assemble the Pallas kernels' (8, V) DMA layout on device: the 3
+    staged per-slot plan rows (xpos, ypos, ws), the block-length row
+    broadcast from the tiny per-block ``blk_lenf`` table (slots are
+    laid out as exactly ``block`` lanes per block), the split
+    visibilities for the grid direction (degrid never reads rows 4-7),
+    and alignment padding to the 8-sublane tile. One fused HBM
+    materialization per call.
+    """
+    packed = arrays["packed"]
+    num_v = packed.shape[1]
+    lenf = jnp.broadcast_to(
+        arrays["blk_lenf"][:, None],
+        (arrays["blk_lenf"].shape[0], plan.block),
+    ).reshape(-1)[:num_v][None]
+    rows = [packed, lenf]
+    if re is None:
+        rows.append(jnp.zeros((4, num_v), jnp.float32))
+    else:
+        rows.extend(
+            [re[None], im[None], jnp.zeros((2, num_v), jnp.float32)]
+        )
+    return jnp.concatenate(rows, axis=0)
 
 
 def plan_device_arrays(
@@ -685,9 +717,9 @@ def build_invert(
     # plane FFT is replaced by a slice so on-chip benchmarks can read
     # the gridding-vs-FFT split of the invert without editing kernels.
     # Never set in production; results are garbage by construction.
-    ablate_nofft = (
-        __import__("os").environ.get("CIP_ABLATE") == "nofft"
-    )
+    ablate_nofft = "nofft" in (
+        __import__("os").environ.get("CIP_ABLATE") or ""
+    ).split(",")
 
     def fft2_image(arrays, grid_re, grid_im):
         """Plane FFT; fused path returns the image TRANSPOSED."""
@@ -800,19 +832,10 @@ def build_invert(
                 re, im = _prepare_sorted_vis(
                     plan, arrays, vis_re, vis_im
                 )
-            # Assemble the kernels' (8, V) DMA layout on device:
-            # 4 staged plan rows + the split visibilities + 2
-            # alignment-pad rows (one fused HBM materialization, the
-            # same cost the previous in-place row splice paid).
-            data = jnp.concatenate(
-                [
-                    arrays["packed"],
-                    re[None],
-                    im[None],
-                    jnp.zeros((2, re.shape[0]), jnp.float32),
-                ],
-                axis=0,
-            )
+            # (8, V) kernel DMA layout assembled on device
+            # (_kernel_dma_rows: 3 staged plan rows + the broadcast
+            # block-length row + the split visibilities).
+            data = _kernel_dma_rows(plan, arrays, re, im)
 
             def grid_segment(k, g, w_g):
                 return grid_group(
@@ -894,19 +917,10 @@ def build_invert(
                 )
             # Splice the split visibilities into the packed rows so
             # each block-step costs a single input DMA.
-            # Assemble the kernels' (8, V) DMA layout on device:
-            # 4 staged plan rows + the split visibilities + 2
-            # alignment-pad rows (one fused HBM materialization, the
-            # same cost the previous in-place row splice paid).
-            data = jnp.concatenate(
-                [
-                    arrays["packed"],
-                    re[None],
-                    im[None],
-                    jnp.zeros((2, re.shape[0]), jnp.float32),
-                ],
-                axis=0,
-            )
+            # (8, V) kernel DMA layout assembled on device
+            # (_kernel_dma_rows: 3 staged plan rows + the broadcast
+            # block-length row + the split visibilities).
+            data = _kernel_dma_rows(plan, arrays, re, im)
 
             NSEG = plan.num_y_segments
             SY = plan.seg_lanes
@@ -1193,21 +1207,18 @@ def build_predict(
         # invert's CIP_ABLATE=nofft): "nodegrid" skips the degrid
         # kernel (isolates the screen/FFT/unfold side), "nofft" feeds
         # the kernel zero allocs (isolates the degrid kernel).
-        ablate = __import__("os").environ.get("CIP_ABLATE")
+        # Comma-separated set so kernel-level flags (e.g. noout,
+        # pallas_gridder.py) compose: CIP_ABLATE=nofft,noout.
+        ablate_set = set(
+            (__import__("os").environ.get("CIP_ABLATE") or "").split(",")
+        )
 
         @jax.jit
         def predict_pallas_group(arrays: dict, image):
             inv_corr, nm1s = _geometry_maps(plan, arrays)
             img0 = jnp.asarray(image, jnp.float32) * inv_corr
             # (8, V) DMA layout: rows 4-7 are never read by degrid.
-            num_v = arrays["packed"].shape[1]
-            data = jnp.concatenate(
-                [
-                    arrays["packed"],
-                    jnp.zeros((4, num_v), jnp.float32),
-                ],
-                axis=0,
-            )
+            data = _kernel_dma_rows(plan, arrays)
 
             def degrid_segment(k, g, grids, w_g):
                 return degrid_group(
@@ -1228,7 +1239,7 @@ def build_predict(
                 w_g = arrays["plane_wg"][k]
                 grids = []
                 for i in range(GP):
-                    if ablate == "nofft":
+                    if "nofft" in ablate_set:
                         ri = ii = jnp.zeros(
                             (plan.nalloc_x, plan.nalloc_y),
                             jnp.float32,
@@ -1241,7 +1252,7 @@ def build_predict(
                     # zero for every block, so any grid works — reuse
                     # the last real plane's.
                     grids.extend([ri, ii])
-                if ablate == "nodegrid":
+                if "nodegrid" in ablate_set:
                     # Depend on every alloc so none is DCE'd away.
                     total = sum(g[0, 0] for g in grids)
                     return acc + total
@@ -1287,14 +1298,7 @@ def build_predict(
             inv_corr, nm1s = _geometry_maps(plan, arrays)
             img0 = jnp.asarray(image, jnp.float32) * inv_corr
             # (8, V) DMA layout: rows 4-7 are never read by degrid.
-            num_v = arrays["packed"].shape[1]
-            data = jnp.concatenate(
-                [
-                    arrays["packed"],
-                    jnp.zeros((4, num_v), jnp.float32),
-                ],
-                axis=0,
-            )
+            data = _kernel_dma_rows(plan, arrays)
 
             def degrid_segment(p, g, alloc_re, alloc_im, w_p):
                 return degrid_plane(

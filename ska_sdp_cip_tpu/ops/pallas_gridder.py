@@ -460,6 +460,12 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
     B = plan.block
     SX = plan.tile_x
     NS = plan.num_strips
+    # TIMING-ONLY ablation (WRONG outputs): CIP_ABLATE=noout skips the
+    # per-step output DMA ring entirely, isolating its share of the
+    # degrid step cost (see scripts/predict_ablation_probe.py).
+    noout = "noout" in (
+        __import__("os").environ.get("CIP_ABLATE") or ""
+    ).split(",")
 
     def kernel(*refs):
         (
@@ -561,14 +567,15 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
 
             @pl.when(s == NS - 1)
             def _():
-                for slot in range(NUM_OUT_BUFFERS):
-                    enc = last_blks[slot]
+                if not noout:
+                    for slot in range(NUM_OUT_BUFFERS):
+                        enc = last_blks[slot]
 
-                    @pl.when(enc >= 0)
-                    def _():
-                        out_copy(
-                            jnp.maximum(enc >> 4, 0), enc & 15
-                        ).wait()
+                        @pl.when(enc >= 0)
+                        def _():
+                            out_copy(
+                                jnp.maximum(enc >> 4, 0), enc & 15
+                            ).wait()
 
         @pl.when(active & (v >= 0))
         def _():
@@ -595,13 +602,19 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
                     * amps[i]
                 )
 
-            @pl.when(prev2 >= 0)
-            def _():
-                out_copy(jnp.maximum(prev2, 0), out_par).wait()
+            if noout:
+                # Timing ablation: keep the stores (so the math is not
+                # DCE'd) but skip the DMA ring entirely.
+                con_buf[0, 0:1, :] = con_re
+                con_buf[0, 1:2, :] = con_im
+            else:
+                @pl.when(prev2 >= 0)
+                def _():
+                    out_copy(jnp.maximum(prev2, 0), out_par).wait()
 
-            con_buf[out_par, 0:1, :] = con_re
-            con_buf[out_par, 1:2, :] = con_im
-            out_copy(b, out_par).start()
+                con_buf[out_par, 0:1, :] = con_re
+                con_buf[out_par, 1:2, :] = con_im
+                out_copy(b, out_par).start()
 
     return kernel
 
