@@ -789,4 +789,35 @@ void cip_phase_cossin(const float* ws, int64_t n, double factor,
     });
 }
 
+// Fused slot staging (ops/gridder.py:stage_slot_vis): gather data-order
+// split visibilities into slot order, apply the conjugate flip sign and
+// the static w-shift pre-phase, in one parallel pass. Padding slots
+// (order[i] >= n_data, the plan's sentinel convention) stage as zero.
+void cip_stage_slot_vis(const float* vis_re, const float* vis_im,
+                        int64_t n_data, const int64_t* order,
+                        const float* flip_sign, const float* phase_cos,
+                        const float* phase_sin, int64_t n_slots,
+                        int32_t wstacking, float* out_re,
+                        float* out_im) {
+    parallel_for(n_slots, [&](int, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            const int64_t idx = order[i];
+            float re = 0.0f, im = 0.0f;
+            if (idx >= 0 && idx < n_data) {
+                re = vis_re[idx];
+                im = vis_im[idx] * flip_sign[i];
+            }
+            if (wstacking) {
+                const float c = phase_cos[i];
+                const float s = phase_sin[i];
+                out_re[i] = re * c - im * s;
+                out_im[i] = re * s + im * c;
+            } else {
+                out_re[i] = re;
+                out_im[i] = im;
+            }
+        }
+    });
+}
+
 }  // extern "C"

@@ -87,6 +87,10 @@ def _declare(lib) -> None:
     lib.cip_density_accumulate.argtypes = [
         dp, ct.c_int64, dp, ct.c_int64, dp, ct.c_double, ct.c_int64, dp
     ]
+    lib.cip_stage_slot_vis.argtypes = [
+        fp, fp, ct.c_int64, i64p, fp, fp, fp, ct.c_int64,
+        ct.c_int32, fp, fp,
+    ]
 
 
 def _ptr(arr, ctype):
@@ -303,6 +307,49 @@ def phase_cossin(ws: np.ndarray, factor: float) -> tuple:
         _ptr(sin_out, ctypes.c_float),
     )
     return cos_out, sin_out
+
+
+def stage_slot_vis(
+    vis_re: np.ndarray,
+    vis_im: np.ndarray,
+    order: np.ndarray,
+    flip_sign: np.ndarray,
+    phase_cos: np.ndarray,
+    phase_sin: np.ndarray,
+    *,
+    wstacking: bool,
+) -> tuple:
+    """
+    Fused multithreaded slot staging: gather data-order split
+    visibilities into slot order, conjugate-flip, apply the w-shift
+    pre-phase (ops/gridder.py:stage_slot_vis semantics: padding slots
+    whose ``order`` index is out of range stage as zero).
+    """
+    lib = load_library()
+    vis_re = np.ascontiguousarray(vis_re, np.float32).ravel()
+    vis_im = np.ascontiguousarray(vis_im, np.float32).ravel()
+    order = np.ascontiguousarray(order, np.int64)
+    flip_sign = np.ascontiguousarray(flip_sign, np.float32)
+    # Keep converted temporaries referenced for the call's duration.
+    phase_cos = np.ascontiguousarray(phase_cos, np.float32)
+    phase_sin = np.ascontiguousarray(phase_sin, np.float32)
+    num_slots = len(order)
+    out_re = alloc_populated(num_slots, np.float32)
+    out_im = alloc_populated(num_slots, np.float32)
+    lib.cip_stage_slot_vis(
+        _ptr(vis_re, ctypes.c_float),
+        _ptr(vis_im, ctypes.c_float),
+        len(vis_re),
+        _ptr(order, ctypes.c_int64),
+        _ptr(flip_sign, ctypes.c_float),
+        _ptr(phase_cos, ctypes.c_float),
+        _ptr(phase_sin, ctypes.c_float),
+        num_slots,
+        ctypes.c_int32(1 if wstacking else 0),
+        _ptr(out_re, ctypes.c_float),
+        _ptr(out_im, ctypes.c_float),
+    )
+    return out_re, out_im
 
 
 def density_accumulate(

@@ -127,37 +127,6 @@ def _dot3_pair_m(lhs_a, lhs_b, rhs, m):
     return out_a, out_b
 
 
-def _dot3_pair_m0(lhs_a, lhs_b, rhs, m):
-    """
-    As :func:`_dot3_pair_m` but contracting the FIRST axis of both
-    operands (the degrid direction): lhs (K, m) x rhs (K, n) -> (m, n),
-    passes stacked along the lhs free axis.
-    """
-    contract = (((0,), (0,)), ((), ()))
-    a_hi = lhs_a.astype(jnp.bfloat16)
-    b_hi = lhs_b.astype(jnp.bfloat16)
-    a_lo = (lhs_a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_lo = (lhs_b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    r_hi = rhs.astype(jnp.bfloat16)
-    r_lo = (rhs - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    big = lax.dot_general(
-        jnp.concatenate([a_hi, a_lo, b_hi, b_lo], axis=1),
-        r_hi,
-        contract,
-        preferred_element_type=jnp.float32,
-    )
-    cross = lax.dot_general(
-        jnp.concatenate([a_hi, b_hi], axis=1),
-        r_lo,
-        contract,
-        preferred_element_type=jnp.float32,
-    )
-    out_a = big[0:m] + big[m : 2 * m] + cross[0:m]
-    out_b = big[2 * m : 3 * m] + big[3 * m : 4 * m] + cross[m : 2 * m]
-    return out_a, out_b
-
-
 def _dot3_multi_m(lhs, rhs, m):
     """
     N f32-accurate (m, B) x (B, n) contractions against a SHARED right
@@ -195,14 +164,19 @@ def _dot3_multi_m(lhs, rhs, m):
     ]
 
 
-def _dot3_multi_m0(lhs, rhs, m):
+def _dot3_multi_mk(lhs, rhs, m):
     """
-    As :func:`_dot3_multi_m` but contracting the FIRST axis of both
-    operands (the degrid direction), passes stacked along the lhs free
-    axis.
+    N f32-accurate (m, K) x (K, n) contractions against a SHARED right
+    operand — the degrid direction with the contraction over the
+    STRIP-LANE axis (K = patch_y = 128) instead of the patch-row axis
+    (K = patch_x = 48): the 128-deep MXU systolic array runs fully
+    filled instead of at 48/128 occupancy for identical MAC counts
+    (measured 68.5 -> ~53 ms on the 5.8M-vis degrid). bf16x3 passes
+    stacked along the lhs row axis; lhs axis 1 contracts with rhs
+    axis 0.
     """
     n = len(lhs)
-    contract = (((0,), (0,)), ((), ()))
+    contract = (((1,), (0,)), ((), ()))
     his = [x.astype(jnp.bfloat16) for x in lhs]
     los = [
         (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -211,13 +185,13 @@ def _dot3_multi_m0(lhs, rhs, m):
     r_hi = rhs.astype(jnp.bfloat16)
     r_lo = (rhs - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     big = lax.dot_general(
-        jnp.concatenate(his + los, axis=1),
+        jnp.concatenate(his + los, axis=0),
         r_hi,
         contract,
         preferred_element_type=jnp.float32,
     )
     cross = lax.dot_general(
-        jnp.concatenate(his, axis=1),
+        jnp.concatenate(his, axis=0),
         r_lo,
         contract,
         preferred_element_type=jnp.float32,
@@ -589,16 +563,19 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
             for i in range(G):
                 lhs.append(gbuf_re[sbuf, i, :, pl.ds(oy, PY)])
                 lhs.append(gbuf_im[sbuf, i, :, pl.ds(oy, PY)])
-            t = _dot3_multi_m0(lhs, ax, PY)
+            # Contract over the 128-lane strip axis (full MXU fill;
+            # see _dot3_multi_mk), then weight-reduce the patch_x rows
+            # on the VPU.
+            t = _dot3_multi_mk(lhs, ay, PX)
             con_re = jnp.zeros((1, B), jnp.float32)
             con_im = jnp.zeros((1, B), jnp.float32)
             for i in range(G):
                 con_re = con_re + (
-                    jnp.sum(t[2 * i] * ay, axis=0, keepdims=True)
+                    jnp.sum(t[2 * i] * ax, axis=0, keepdims=True)
                     * amps[i]
                 )
                 con_im = con_im + (
-                    jnp.sum(t[2 * i + 1] * ay, axis=0, keepdims=True)
+                    jnp.sum(t[2 * i + 1] * ax, axis=0, keepdims=True)
                     * amps[i]
                 )
 
@@ -885,11 +862,13 @@ def _degrid_strip_kernel_factory(plan: GridderPlan):
             oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
             patch_re = gbuf_re[sbuf, :, pl.ds(oy, PY)]
             patch_im = gbuf_im[sbuf, :, pl.ds(oy, PY)]
-            t_re, t_im = _dot3_pair_m0(
-                patch_re, patch_im, ax, PY
-            )  # (PY, B) each
-            con_re = jnp.sum(t_re * ay, axis=0, keepdims=True) * amp
-            con_im = jnp.sum(t_im * ay, axis=0, keepdims=True) * amp
+            # Contract over the 128-lane strip axis (full MXU fill;
+            # see _dot3_multi_mk), then weight-reduce patch_x rows.
+            t_re, t_im = _dot3_multi_mk(
+                [patch_re, patch_im], ay, PX
+            )  # (PX, B) each
+            con_re = jnp.sum(t_re * ax, axis=0, keepdims=True) * amp
+            con_im = jnp.sum(t_im * ax, axis=0, keepdims=True) * amp
 
             # Reuse of this ring slot must wait for the out-DMA of
             # the block NUM_OUT_BUFFERS steps back (same out parity).

@@ -272,3 +272,61 @@ def test_stage_slot_weights_zeroes_padding(problem):
     assert slot_w.shape == (plan.num_vis,)
     assert np.all(slot_w[pad] == 0.0)
     assert np.all(slot_w[~pad] == 1.0)
+
+
+def test_native_stage_slot_vis_matches_numpy(problem):
+    """The fused C++ staging pass (native/cip_native.cpp:
+    cip_stage_slot_vis) must agree with the numpy gather+flip+phase
+    path to f32 rounding (FMA contraction differs in the last ulp)."""
+    from ska_sdp_cip_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    plan, _, vis, wgt, _, _ = problem
+    weighted = (vis * wgt).ravel()
+    got_re, got_im = stage_slot_vis(
+        plan, weighted.real, weighted.imag
+    )
+
+    re = np.append(weighted.real.astype(np.float32), np.float32(0))
+    im = np.append(weighted.imag.astype(np.float32), np.float32(0))
+    from ska_sdp_cip_tpu.ops.gridder import plan_order_host
+
+    host = plan_order_host(plan)
+    order = np.minimum(host["order"], len(re) - 1)
+    exp_re = re[order]
+    exp_im = im[order] * host["flip_sign"]
+    if plan.wstacking:
+        cos, sin = host["phase_cos"], host["phase_sin"]
+        exp_re, exp_im = (
+            exp_re * cos - exp_im * sin,
+            exp_re * sin + exp_im * cos,
+        )
+    scale = np.abs(weighted).max()
+    np.testing.assert_allclose(got_re, exp_re, atol=1e-6 * scale)
+    np.testing.assert_allclose(got_im, exp_im, atol=1e-6 * scale)
+
+
+def test_device_put_parallel_round_trips(problem):
+    """Chunked concurrent staging (utils/staging.py) must reassemble
+    every array bit-exactly, including ones above the chunk size."""
+    from ska_sdp_cip_tpu.utils.staging import (
+        AsyncStager,
+        device_put_parallel,
+    )
+
+    rng = np.random.default_rng(3)
+    host = {
+        "big": rng.random((3, 6_000_000)).astype(np.float32),
+        "odd": rng.random(1_000_001).astype(np.float32),
+        "small": np.arange(33, dtype=np.int32),
+    }
+    out = device_put_parallel(host, wait=True)
+    for key, value in host.items():
+        np.testing.assert_array_equal(np.asarray(out[key]), value)
+
+    with AsyncStager() as stager:
+        stager.submit_dict(host)
+        got = stager.wait_all()
+    for key, value in host.items():
+        np.testing.assert_array_equal(np.asarray(got[key]), value)
