@@ -106,6 +106,14 @@ def main() -> None:
 
     t_warm = time.time()
     scalar_fetch()
+    # Warm the relay's TRANSFER streams too (first bulk transfers pay
+    # relay bring-up; staging times below should measure steady-state
+    # bandwidth, matching scripts/staging_probe.py).
+    from ska_sdp_cip_tpu.utils.staging import device_put_parallel
+
+    _ = device_put_parallel(
+        {"warm": np.zeros(8 * 1024 * 1024, np.float32)}, wait=True
+    )
     warmup_seconds = time.time() - t_warm
 
     t_plan = time.time()
