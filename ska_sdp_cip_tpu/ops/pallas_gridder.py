@@ -53,6 +53,7 @@ from .kernels import es_kernel_jnp
 from .plan import (
     NUM_IN_BUFFERS,
     NUM_OUT_BUFFERS,
+    PAIR_FLAG_SHIFT,
     PREFETCH_DEPTH,
     GridderPlan,
 )
@@ -251,28 +252,34 @@ def _kernel_factors_group(plan: GridderPlan, pack, wp_ref):
     """
     VPU build of the separable kernel matrices for one block visiting
     a PLANE GROUP: shared ax/ay plus per-plane amplitudes. The G w
-    factors are evaluated in one (G, B) transcendental pass. Group
-    plans exist only when w-stacking is on.
+    factors are evaluated in one (G, Bw) transcendental pass. Group
+    plans exist only when w-stacking is on. ``pack`` may be the
+    DOUBLE-width (8, 2B) slice of a pair step (two same-tile blocks
+    side by side): positions are patch-relative to the shared origin
+    and the lane mask folds the per-block lane index, so all factor
+    math is width-agnostic.
     """
     G = plan.plane_group
     PX, PY, B, W = plan.patch_x, plan.patch_y, plan.block, plan.support
+    Bw = pack.shape[1]
     xpos = pack[0:1, :]
     ypos = pack[1:2, :]
     ws = pack[2:3, :]
     lenf = pack[3:4, :]
     inv_half = jnp.float32(2.0 / W)
-    iota_x = lax.broadcasted_iota(jnp.int32, (PX, B), 0).astype(
+    iota_x = lax.broadcasted_iota(jnp.int32, (PX, Bw), 0).astype(
         jnp.float32
     )
-    iota_y = lax.broadcasted_iota(jnp.int32, (PY, B), 0).astype(
+    iota_y = lax.broadcasted_iota(jnp.int32, (PY, Bw), 0).astype(
         jnp.float32
     )
     ax = es_kernel_jnp((iota_x - xpos) * inv_half, plan.beta)
     ay = es_kernel_jnp((iota_y - ypos) * inv_half, plan.beta)
-    lane = (
-        lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
-        < lenf
-    )
+    lane_i = lax.broadcasted_iota(jnp.int32, (1, Bw), 1)
+    if Bw > B:
+        # Per-block lane index for the length mask of pair steps.
+        lane_i = lane_i - B * (lane_i >= B).astype(jnp.int32)
+    lane = lane_i.astype(jnp.float32) < lenf
     inv_whalf = jnp.float32(2.0 / (W * plan.dw))
     z = (
         jnp.concatenate(
@@ -289,7 +296,11 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
     """Plane-group variant of :func:`_grid_strip_kernel_factory`: G
     adjacent w-planes' strips stay resident and every block visit
     grids onto all of them, dividing block-steps by ~G and sharing
-    one ES build across the group."""
+    one ES build across the group. Step tables are PAIR-mode
+    (ops/plan.py:build_step_tables): a step may cover two same-tile
+    id-consecutive blocks fetched by one double-width DMA and gridded
+    by one double-K contraction — halving per-step scalar overhead on
+    dense workloads."""
     G = plan.plane_group
     PX, PY = plan.patch_x, plan.patch_y
     B = plan.block
@@ -297,6 +308,7 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
     CARRY = PX - SX
     NS = plan.num_strips
     NY = plan.seg_width
+    BMASK = (1 << PAIR_FLAG_SHIFT) - 1
 
     def kernel(*refs):
         (step_val, step_aux, first_blk, blk_oy, count, seg_base) = (
@@ -310,13 +322,25 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
         j = pl.program_id(0)
         cnt = count[0]
 
-        def in_copy(b, par):
+        def in_copy(b, par, width):
             s = pl.multiple_of(b * B, B)
             return pltpu.make_async_copy(
-                packed_hbm.at[:, pl.ds(s, B)],
-                pack_buf.at[par],
+                packed_hbm.at[:, pl.ds(s, width * B)],
+                pack_buf.at[par, :, pl.ds(0, width * B)],
                 in_sems.at[par],
             )
+
+        def start_fetch(enc, par):
+            """enc = (block << 1) | pair, >= 0."""
+            blk = jnp.maximum(enc >> 1, 0)
+
+            @pl.when((enc & 1) == 0)
+            def _():
+                in_copy(blk, par, 1).start()
+
+            @pl.when((enc & 1) == 1)
+            def _():
+                in_copy(blk, par, 2).start()
 
         @pl.when(j == 0)
         def _():
@@ -327,7 +351,7 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
 
                 @pl.when(head >= 0)
                 def _():
-                    in_copy(jnp.maximum(head, 0), slot).start()
+                    start_fetch(jnp.maximum(head, 0), slot)
 
         v, pref, sbuf, par, _out_par = _decode_step(
             step_val, step_aux, j
@@ -336,20 +360,17 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
 
         @pl.when(active & (pref >= 0))
         def _():
-            in_copy(
+            start_fetch(
                 jnp.maximum(pref, 0),
                 (par + PREFETCH_DEPTH) % NUM_IN_BUFFERS,
-            ).start()
-
-        @pl.when(active & (v >= 0))
-        def _():
-            b = jnp.maximum(v, 0)
-            in_copy(b, par).wait()
-            ax, ay, amps = _kernel_factors_group(
-                plan, pack_buf[par], wp_ref
             )
-            vre = pack_buf[par][4:5, :]
-            vim = pack_buf[par][5:6, :]
+
+        def grid_block(b, width):
+            in_copy(b, par, width).wait()
+            pack = pack_buf[par, :, pl.ds(0, width * B)]
+            ax, ay, amps = _kernel_factors_group(plan, pack, wp_ref)
+            vre = pack[4:5, :]
+            vim = pack[5:6, :]
             lhs = []
             for amp in amps:
                 lhs.append(ax * (vre * amp))
@@ -365,6 +386,19 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
                     strip_im[sbuf, i, :, pl.ds(oy, PY)]
                     + patches[2 * i + 1]
                 )
+
+        @pl.when(active & (v >= 0))
+        def _():
+            b = jnp.maximum(v, 0) & BMASK
+            pair = (jnp.maximum(v, 0) >> PAIR_FLAG_SHIFT) & 1
+
+            @pl.when(pair == 0)
+            def _():
+                grid_block(b, 1)
+
+            @pl.when(pair == 1)
+            def _():
+                grid_block(b, 2)
 
         @pl.when(active & (v < 0))
         def _():
@@ -428,12 +462,16 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
     """Plane-group variant of :func:`_degrid_strip_kernel_factory`:
     each block visit reads all G resident plane strips and writes the
     SUMMED group contribution, dividing block-steps and out-DMAs by
-    ~G."""
+    ~G. Step tables are PAIR-mode (ops/plan.py:build_step_tables):
+    a step may cover two same-tile id-consecutive blocks with one
+    double-width input DMA, one double-width contraction, and one
+    double-width output DMA."""
     G = plan.plane_group
     PX, PY = plan.patch_x, plan.patch_y
     B = plan.block
     SX = plan.tile_x
     NS = plan.num_strips
+    BMASK = (1 << PAIR_FLAG_SHIFT) - 1
     # TIMING-ONLY ablation (WRONG outputs): CIP_ABLATE=noout skips the
     # per-step output DMA ring entirely, isolating its share of the
     # degrid step cost (see scripts/predict_ablation_probe.py).
@@ -467,13 +505,25 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
         j = pl.program_id(0)
         cnt = count[0]
 
-        def pack_copy(b, par):
+        def pack_copy(b, par, width):
             s = pl.multiple_of(b * B, B)
             return pltpu.make_async_copy(
-                packed_hbm.at[:, pl.ds(s, B)],
-                pack_buf.at[par],
+                packed_hbm.at[:, pl.ds(s, width * B)],
+                pack_buf.at[par, :, pl.ds(0, width * B)],
                 in_sems.at[par],
             )
+
+        def start_fetch(enc, par):
+            """enc = (block << 1) | pair, >= 0."""
+            blk = jnp.maximum(enc >> 1, 0)
+
+            @pl.when((enc & 1) == 0)
+            def _():
+                pack_copy(blk, par, 1).start()
+
+            @pl.when((enc & 1) == 1)
+            def _():
+                pack_copy(blk, par, 2).start()
 
         def grid_copies(strip_idx, buf):
             r0 = pl.multiple_of(strip_idx * SX, 8)
@@ -495,13 +545,25 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
                 )
             return copies
 
-        def out_copy(b, par):
+        def out_copy(b, par, width):
             s = pl.multiple_of(b * B, B)
             return pltpu.make_async_copy(
-                con_buf.at[par],
-                out_hbm.at[:, pl.ds(s, B)],
+                con_buf.at[par, :, pl.ds(0, width * B)],
+                out_hbm.at[:, pl.ds(s, width * B)],
                 out_sems.at[par],
             )
+
+        def wait_out(enc, par):
+            """enc = (block << 1) | pair, >= 0."""
+            blk = jnp.maximum(enc >> 1, 0)
+
+            @pl.when((enc & 1) == 0)
+            def _():
+                out_copy(blk, par, 1).wait()
+
+            @pl.when((enc & 1) == 1)
+            def _():
+                out_copy(blk, par, 2).wait()
 
         @pl.when(j == 0)
         def _():
@@ -512,7 +574,7 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
 
                 @pl.when(head >= 0)
                 def _():
-                    pack_copy(jnp.maximum(head, 0), slot).start()
+                    start_fetch(jnp.maximum(head, 0), slot)
 
         v, pref, sbuf, par, out_par = _decode_step(
             step_val, step_aux, j
@@ -522,10 +584,10 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
 
         @pl.when(active & (pref >= 0))
         def _():
-            pack_copy(
+            start_fetch(
                 jnp.maximum(pref, 0),
                 (par + PREFETCH_DEPTH) % NUM_IN_BUFFERS,
-            ).start()
+            )
 
         @pl.when(active & (v < 0))
         def _():
@@ -547,17 +609,14 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
 
                         @pl.when(enc >= 0)
                         def _():
-                            out_copy(
+                            wait_out(
                                 jnp.maximum(enc >> 4, 0), enc & 15
-                            ).wait()
+                            )
 
-        @pl.when(active & (v >= 0))
-        def _():
-            b = jnp.maximum(v, 0)
-            pack_copy(b, par).wait()
-            ax, ay, amps = _kernel_factors_group(
-                plan, pack_buf[par], wp_ref
-            )
+        def degrid_block(b, width):
+            pack_copy(b, par, width).wait()
+            pack = pack_buf[par, :, pl.ds(0, width * B)]
+            ax, ay, amps = _kernel_factors_group(plan, pack, wp_ref)
             oy = pl.multiple_of(blk_oy[b] - seg_base[0], 128)
             lhs = []
             for i in range(G):
@@ -567,8 +626,8 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
             # see _dot3_multi_mk), then weight-reduce the patch_x rows
             # on the VPU.
             t = _dot3_multi_mk(lhs, ay, PX)
-            con_re = jnp.zeros((1, B), jnp.float32)
-            con_im = jnp.zeros((1, B), jnp.float32)
+            con_re = jnp.zeros((1, width * B), jnp.float32)
+            con_im = jnp.zeros((1, width * B), jnp.float32)
             for i in range(G):
                 con_re = con_re + (
                     jnp.sum(t[2 * i] * ax, axis=0, keepdims=True)
@@ -582,16 +641,29 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
             if noout:
                 # Timing ablation: keep the stores (so the math is not
                 # DCE'd) but skip the DMA ring entirely.
-                con_buf[0, 0:1, :] = con_re
-                con_buf[0, 1:2, :] = con_im
+                con_buf[0, 0:1, pl.ds(0, width * B)] = con_re
+                con_buf[0, 1:2, pl.ds(0, width * B)] = con_im
             else:
                 @pl.when(prev2 >= 0)
                 def _():
-                    out_copy(jnp.maximum(prev2, 0), out_par).wait()
+                    wait_out(jnp.maximum(prev2, 0), out_par)
 
-                con_buf[out_par, 0:1, :] = con_re
-                con_buf[out_par, 1:2, :] = con_im
-                out_copy(b, out_par).start()
+                con_buf[out_par, 0:1, pl.ds(0, width * B)] = con_re
+                con_buf[out_par, 1:2, pl.ds(0, width * B)] = con_im
+                out_copy(b, out_par, width).start()
+
+        @pl.when(active & (v >= 0))
+        def _():
+            b = jnp.maximum(v, 0) & BMASK
+            pair = (jnp.maximum(v, 0) >> PAIR_FLAG_SHIFT) & 1
+
+            @pl.when(pair == 0)
+            def _():
+                degrid_block(b, 1)
+
+            @pl.when(pair == 1)
+            def _():
+                degrid_block(b, 2)
 
     return kernel
 
@@ -982,7 +1054,10 @@ def build_grid_planes_pallas_group(
         scratch_shapes=[
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
-            pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
+            # Double-width input slots: pair steps fetch (8, 2B).
+            pltpu.VMEM(
+                (NUM_IN_BUFFERS, PACK_COLS, 2 * B), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2 * G)),
         ],
@@ -1057,8 +1132,11 @@ def build_degrid_planes_pallas_group(
         scratch_shapes=[
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
-            pltpu.VMEM((NUM_IN_BUFFERS, PACK_COLS, B), jnp.float32),
-            pltpu.VMEM((NUM_OUT_BUFFERS, 2, B), jnp.float32),
+            # Double-width input/output slots: pair steps move 2B.
+            pltpu.VMEM(
+                (NUM_IN_BUFFERS, PACK_COLS, 2 * B), jnp.float32
+            ),
+            pltpu.VMEM((NUM_OUT_BUFFERS, 2, 2 * B), jnp.float32),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2 * G)),
             pltpu.SemaphoreType.DMA((NUM_OUT_BUFFERS,)),

@@ -419,6 +419,48 @@ def _build_active_table(
     return table
 
 
+#: Bit of ``step_val`` / shift of prefetch//wait encodings carrying
+#: the PAIR flag in pair-mode step tables (build_step_tables(...,
+#: block_tile=...)): a pair step processes blocks (b, b + 1) — same
+#: uv tile, contiguous slot ranges — in one kernel step with one
+#: double-width input DMA, halving the per-step scalar overhead for
+#: the ~77% of consecutive blocks that share a tile on dense
+#: workloads. Caps block ids at 2^20 (a 7 GB-of-slots plan at B=128).
+PAIR_FLAG_SHIFT = 20
+
+
+def _pair_entries(
+    active: np.ndarray, tile: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """
+    Greedy left-to-right pairing of an ascending active-block list:
+    entries are (start_block, pair_flag) where a paired entry covers
+    blocks (b, b + 1) — allowed when they are id-consecutive AND on
+    the same uv tile (same patch origin, contiguous slots).
+    """
+    nb = len(active)
+    starts = []
+    flags = []
+    j = 0
+    while j < nb:
+        if (
+            j + 1 < nb
+            and active[j + 1] == active[j] + 1
+            and tile[active[j + 1]] == tile[active[j]]
+        ):
+            starts.append(active[j])
+            flags.append(1)
+            j += 2
+        else:
+            starts.append(active[j])
+            flags.append(0)
+            j += 1
+    return (
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(flags, dtype=np.int64),
+    )
+
+
 def build_step_tables(
     plane_lo: np.ndarray,
     plane_hi: np.ndarray,
@@ -427,6 +469,7 @@ def build_step_tables(
     num_strips: int,
     block_segment: np.ndarray | None = None,
     num_segments: int = 1,
+    block_tile: np.ndarray | None = None,
 ) -> dict:
     """
     Per-plane step programs for the strip-resident Pallas kernels: the
@@ -436,35 +479,57 @@ def build_step_tables(
     from SMEM. Encoding:
 
     * ``step_val``: block id (>= 0), sentinel ``-1 - strip``, pad -2.
+      Pair mode additionally sets bit ``PAIR_FLAG_SHIFT`` on steps
+      covering blocks (b, b + 1).
     * ``step_aux``: ``(pref + 1) << 8 | out_parity << 4 |
       strip_parity << 3 | in_parity`` where ``pref`` is the block
-      whose input DMA to start at this step (``PREFETCH_DEPTH`` blocks
-      ahead), ``in_parity`` the block's slot in the
+      whose input DMA to start at this step (``PREFETCH_DEPTH`` steps
+      ahead), ``in_parity`` the step's slot in the
       ``NUM_IN_BUFFERS``-deep input pipeline, and ``out_parity`` its
-      slot in the ``NUM_OUT_BUFFERS``-deep degrid output ring.
-    * ``step_aux2``: block id ``NUM_OUT_BUFFERS`` block-steps behind,
-      plus one (0 if none) — the degrid kernel waits that block's
-      output DMA before reusing its ring slot.
-    * ``first_block``: the first ``PREFETCH_DEPTH`` blocks, whose DMAs
-      step 0 launches to fill the pipeline.
-    * ``last_blocks``: the final ``NUM_OUT_BUFFERS`` blocks encoded as
-      ``block << 4 | out_parity`` for the degrid output drain.
+      slot in the ``NUM_OUT_BUFFERS``-deep degrid output ring. In
+      pair mode ``pref`` is ``(block << 1) | pair``.
+    * ``step_aux2``: the block-step ``NUM_OUT_BUFFERS`` steps behind,
+      plus one (0 if none) — the degrid kernel waits that step's
+      output DMA before reusing its ring slot. Pair mode:
+      ``((block << 1) | pair) + 1``.
+    * ``first_block``: the first ``PREFETCH_DEPTH`` steps' blocks,
+      whose DMAs step 0 launches to fill the pipeline (pair mode:
+      ``(block << 1) | pair``).
+    * ``last_blocks``: the final ``NUM_OUT_BUFFERS`` block-steps
+      encoded as ``block << 4 | out_parity`` (pair mode:
+      ``((block << 1) | pair) << 4 | out_parity``) for the degrid
+      output drain.
+
+    ``block_tile`` (the per-block uv-tile identity) enables PAIR mode
+    — used by the plane-group kernels; the single-plane kernels read
+    the legacy encoding and must be given tables built without it.
     """
     num_blocks = len(plane_lo)
     if block_segment is None:
         block_segment = np.zeros(num_blocks, dtype=np.int64)
+    pair_mode = block_tile is not None
+    if pair_mode and num_blocks >= (1 << PAIR_FLAG_SHIFT):
+        raise ValueError(
+            f"pair-mode step tables cap block ids at "
+            f"2^{PAIR_FLAG_SHIFT}; got {num_blocks} blocks"
+        )
 
-    # Active block lists per (plane, y-segment) call
-    actives = {}
-    max_nb = 0
+    # Entry lists (block steps after pairing) per (plane, y-segment)
+    entries = {}
+    max_ne = 0
     for p in range(nplanes):
         on_plane = np.flatnonzero((plane_lo <= p) & (plane_hi >= p))
         segs = block_segment[on_plane]
         for g in range(num_segments):
             active = on_plane[segs == g]
-            actives[p, g] = active
-            max_nb = max(max_nb, len(active))
-    max_steps = max(max_nb + num_strips, 1)
+            if pair_mode:
+                starts, flags = _pair_entries(active, block_tile)
+            else:
+                starts = active
+                flags = np.zeros(len(active), dtype=np.int64)
+            entries[p, g] = (starts, flags)
+            max_ne = max(max_ne, len(starts))
+    max_steps = max(max_ne + num_strips, 1)
 
     shape = (nplanes, num_segments, max_steps)
     step_val = np.full(shape, -2, dtype=np.int32)
@@ -478,19 +543,28 @@ def build_step_tables(
         (nplanes, num_segments, NUM_OUT_BUFFERS), -1, dtype=np.int32
     )
 
-    for (p, g), active in actives.items():
-        nb = len(active)
+    for (p, g), (starts, flags) in entries.items():
+        nb = len(starts)
         strips = (
-            block_strip[active] if nb else np.zeros(0, dtype=np.int64)
+            block_strip[starts] if nb else np.zeros(0, dtype=np.int64)
         )
+        if pair_mode:
+            vals_enc = (starts | (flags << PAIR_FLAG_SHIFT)).astype(
+                np.int32
+            )
+            # Prefetch / wait / drain encoding: (block << 1) | pair
+            side_enc = ((starts << 1) | flags).astype(np.int32)
+        else:
+            vals_enc = starts.astype(np.int32)
+            side_enc = starts.astype(np.int32)
         # Sentinel for strip s goes after the last block of strip s
         per_strip = np.bincount(strips, minlength=num_strips)
-        # Step position of block j: j + (number of sentinels before
+        # Step position of entry j: j + (number of sentinels before
         # it) = j + strips[j]; sentinel s at per-strip cumsum + s + 1.
         pos_blocks = np.arange(nb) + strips
         pos_sent = np.cumsum(per_strip) + np.arange(num_strips)
         vals = np.empty(nb + num_strips, dtype=np.int32)
-        vals[pos_blocks] = active
+        vals[pos_blocks] = vals_enc
         vals[pos_sent] = -1 - np.arange(num_strips)
         aux = np.zeros(nb + num_strips, dtype=np.int32)
         # Current strip at each step (for the buffer-parity bit)
@@ -504,26 +578,26 @@ def build_step_tables(
         pref = np.zeros(nb + num_strips, dtype=np.int32)
         if nb > PREFETCH_DEPTH:
             pref[pos_blocks[:-PREFETCH_DEPTH]] = (
-                active[PREFETCH_DEPTH:] + 1
+                side_enc[PREFETCH_DEPTH:] + 1
             )
         aux |= pref << 8
         aux2 = np.zeros(nb + num_strips, dtype=np.int32)
         if nb > NUM_OUT_BUFFERS:
             aux2[pos_blocks[NUM_OUT_BUFFERS:]] = (
-                active[:-NUM_OUT_BUFFERS] + 1
+                side_enc[:-NUM_OUT_BUFFERS] + 1
             )
         n_steps = nb + num_strips
         step_val[p, g, :n_steps] = vals
         step_aux[p, g, :n_steps] = aux
         step_aux2[p, g, :n_steps] = aux2
         step_count[p, g] = n_steps
-        head = active[:PREFETCH_DEPTH]
+        head = side_enc[:PREFETCH_DEPTH]
         first_block[p, g, : len(head)] = head
-        # Encoded (block << 4 | out_parity) for the degrid drain
-        tail = active[-NUM_OUT_BUFFERS:]
+        # Encoded (enc << 4 | out_parity) for the degrid drain
+        tail = side_enc[-NUM_OUT_BUFFERS:]
         tail_k = np.arange(nb)[-NUM_OUT_BUFFERS:]
-        for slot, (blk, k) in enumerate(zip(tail, tail_k)):
-            last_blocks[p, g, slot] = (blk << 4) | (
+        for slot, (enc, k) in enumerate(zip(tail, tail_k)):
+            last_blocks[p, g, slot] = (int(enc) << 4) | (
                 k % NUM_OUT_BUFFERS
             )
 
@@ -1216,11 +1290,21 @@ def make_plan(
     )
     # Group mode: table row k schedules planes [k*G, (k+1)*G) — a
     # block is active on row k when its plane window intersects them.
+    # Group tables are PAIR-mode (build_step_tables): id-consecutive
+    # same-tile blocks share one double-width step, halving per-step
+    # scalar overhead on dense workloads. The single-plane kernels
+    # read the legacy encoding, so non-group tables stay unpaired.
     if group > 1:
         row_lo, row_hi = plane_lo // group, plane_hi // group
         num_rows = -(-nplanes // group)
+        block_tile = (
+            block_ox_padded[:num_blocks].astype(np.int64)
+            * (1 << 32)
+            + block_oy_padded[:num_blocks].astype(np.int64)
+        )
     else:
         row_lo, row_hi, num_rows = plane_lo, plane_hi, nplanes
+        block_tile = None
     step_tables = build_step_tables(
         row_lo,
         row_hi,
@@ -1229,6 +1313,7 @@ def make_plan(
         num_strips,
         block_segment,
         num_y_segments,
+        block_tile=block_tile,
     )
 
     plane_w = w0_plane + dw * np.arange(nplanes, dtype=np.float64)

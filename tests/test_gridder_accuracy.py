@@ -194,3 +194,49 @@ def test_predict_matches_dft_point_source():
     )
     error = np.max(np.abs(ours - reference)) / np.max(np.abs(reference))
     assert error < 1e-4
+
+
+def test_pair_steps_match_xla_on_dense_plan():
+    """PAIR-mode step tables (ops/plan.py:build_step_tables) must not
+    change results: on a dense plan where most steps cover two blocks,
+    the interpret-mode Pallas invert AND predict agree with the
+    independent XLA path."""
+    import os
+
+    from ska_sdp_cip_tpu.ops.plan import PAIR_FLAG_SHIFT
+
+    rng = np.random.default_rng(17)
+    uvw, _ = synthetic_uvw(8, 48, max_baseline_m=6000.0, seed=3)
+    freqs = np.linspace(1.3e9, 1.5e9, 8)
+    pix = float(np.sin(np.radians(20.0 / 3600)))
+    plan = make_plan(uvw, freqs, 512, pix, epsilon=1e-4,
+                     export_coords=True)
+    sv = plan.step_val
+    paired = ((sv >= 0) & (((sv >> PAIR_FLAG_SHIFT) & 1) == 1)).sum()
+    assert paired > 100, "fixture must exercise many pair steps"
+
+    nvis = plan.num_vis
+    vr = rng.normal(size=nvis).astype(np.float32)
+    vi = rng.normal(size=nvis).astype(np.float32)
+    img = rng.normal(size=(512, 512)).astype(np.float32)
+
+    arrays_xla = plan_device_arrays(plan)
+    inv_xla = build_invert(plan, slot_input=True, gridder="xla")
+    pre_xla = build_predict(plan, slot_output=True, gridder="xla")
+    arrays_p = plan_device_arrays(plan, slot_mode=True)
+    inv_p = build_invert(
+        plan, slot_input=True, gridder="pallas_interpret"
+    )
+    pre_p = build_predict(
+        plan, slot_output=True, gridder="pallas_interpret"
+    )
+
+    a = np.asarray(inv_xla(arrays_xla, vr, vi))
+    b = np.asarray(inv_p(arrays_p, vr, vi))
+    np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max())
+
+    pa = [np.asarray(x) for x in pre_xla(arrays_xla, img)]
+    pb = [np.asarray(x) for x in pre_p(arrays_p, img)]
+    scale = max(np.abs(pa[0]).max(), np.abs(pa[1]).max())
+    np.testing.assert_allclose(pb[0], pa[0], atol=2e-5 * scale)
+    np.testing.assert_allclose(pb[1], pa[1], atol=2e-5 * scale)
