@@ -782,15 +782,27 @@ def build_invert(
         (transposed when the fused FFT defers its final transpose).
         Distributed mode: a (npix, rows_loc) transposed row-slab of
         the image; ``geo`` is the matching nm1s slab.
+
+        NOTE (measured 2026-08-21): replacing the per-plane trig with
+        screen-rotation recurrences (scan-carried or in-group) is
+        NEUTRAL on chip — XLA fuses the trig into the correction
+        multiply, and the ``noscreen`` ablation overstates the screen
+        cost because zeroing the screen also zeroes the FFT's
+        imaginary input, letting XLA skip half the transform. Do not
+        re-attempt without a profile showing the trig itself hot.
         """
+
+        def correct(img_re, img_im):
+            if not plan.wstacking:
+                return img_re
+            theta = (-2.0 * np.pi * w_p) * geo
+            return img_re * jnp.cos(theta) - img_im * jnp.sin(theta)
+
         if not dist:
             img_re, img_im = fft2_image(arrays, grid_re, grid_im)
-            if plan.wstacking:
-                # nm1s is transpose-symmetric, so the fused path's
-                # transposed images accumulate correctly.
-                theta = (-2.0 * np.pi * w_p) * geo
-                return img_re * jnp.cos(theta) - img_im * jnp.sin(theta)
-            return img_re
+            # nm1s is transpose-symmetric, so the fused path's
+            # transposed images accumulate correctly.
+            return correct(img_re, img_im)
         grid_re = lax.psum_scatter(
             grid_re, mesh_axis, scatter_dimension=1, tiled=True
         )
@@ -801,10 +813,7 @@ def build_invert(
         a_re = lax.all_to_all(a_re, mesh_axis, 0, 1, tiled=True)
         a_im = lax.all_to_all(a_im, mesh_axis, 0, 1, tiled=True)
         b_re, b_im = first_axis_pass(arrays, a_re.T, a_im.T)
-        if plan.wstacking:
-            theta = (-2.0 * np.pi * w_p) * geo
-            return b_re * jnp.cos(theta) - b_im * jnp.sin(theta)
-        return b_re
+        return correct(b_re, b_im)
 
     def geometry_slabs(inv_corr, nm1s):
         """Per-device column slabs of the geometry maps (symmetric
@@ -885,7 +894,10 @@ def build_invert(
             def group_contrib(image_accum, k, num_real):
                 # num_real: planes of this group < nplanes (static).
                 # Ragged-tail pad planes have all-zero grids, so their
-                # FFTs are simply skipped.
+                # FFTs are simply skipped. In-group rotation: trig
+                # maps only for the group's first plane; later planes
+                # rotate by the loop-invariant (cos, sin)(2 pi dw geo)
+                # maps (see the predict driver's identical trick).
                 w_g = arrays["plane_wg"][k]
                 grids = group_grids(k, w_g)
                 contrib = image_accum
@@ -1149,9 +1161,21 @@ def build_predict(
             plan, interpret=(mode == "pallas_interpret")
         )
 
+    # TIMING-ONLY sub-ablations of the forward (screen/FFT/unfold)
+    # side, composing with "nodegrid" (see CIP_ABLATE): "noscreen"
+    # skips the per-plane w-screen trig, "nounfold" returns the
+    # uncropped grid without the wrap-margin unfold. CAVEAT:
+    # "noscreen" zeroes the FFT's imaginary input too, so its delta
+    # overstates the screen cost (XLA skips half the transform) —
+    # measured 2026-08-21 when a screen-rotation variant based on
+    # that reading came out neutral.
+    ablate_fwd = set(
+        (__import__("os").environ.get("CIP_ABLATE") or "").split(",")
+    )
+
     def _screened_alloc(arrays, img0, w_p, nm1s):
         """Screen, pad, FFT, unfold one plane's grid (XLA side)."""
-        if plan.wstacking:
+        if plan.wstacking and "noscreen" not in ablate_fwd:
             theta = (2.0 * np.pi * w_p) * nm1s
             img_re = img0 * jnp.cos(theta)
             img_im = img0 * jnp.sin(theta)
@@ -1185,6 +1209,10 @@ def build_predict(
             grid_re, grid_im = _fft2_from_image(
                 arrays, img_re, img_im, crop0, N
             )
+        if "nounfold" in ablate_fwd:
+            # Timing ablation (WRONG shapes downstream — only valid
+            # with "nodegrid", which reads [0, 0] of each grid).
+            return grid_re, grid_im
         return _unfold_wraps(plan, grid_re), _unfold_wraps(plan, grid_im)
 
     def _finalize(arrays, acc_re, acc_im):
