@@ -68,21 +68,31 @@ def main() -> int:
         )
         reader = VisibilityReader(path)
         # Force the Pallas gridder for the single-device oracle too
-        # (invert_dataset resolves the mode from the env/backend).
-        __import__("os").environ["CIP_GRIDDER"] = "pallas"
-        single = np.asarray(
-            invert_dataset(reader, NPIX, PIXEL_ASEC)
-        )
-        mesh = make_device_mesh()
-        sharded = np.asarray(
-            sharded_invert_dataset(
-                reader,
-                NPIX,
-                PIXEL_ASEC,
-                mesh=mesh,
-                gridder="pallas",
+        # (invert_dataset resolves the mode from the env/backend);
+        # restore the prior value so nothing run after main() in this
+        # process inherits the forced mode.
+        os = __import__("os")
+        prev = os.environ.get("CIP_GRIDDER")
+        os.environ["CIP_GRIDDER"] = "pallas"
+        try:
+            single = np.asarray(
+                invert_dataset(reader, NPIX, PIXEL_ASEC)
             )
-        )
+            mesh = make_device_mesh()
+            sharded = np.asarray(
+                sharded_invert_dataset(
+                    reader,
+                    NPIX,
+                    PIXEL_ASEC,
+                    mesh=mesh,
+                    gridder="pallas",
+                )
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("CIP_GRIDDER", None)
+            else:
+                os.environ["CIP_GRIDDER"] = prev
 
     scale = float(np.abs(single).max())
     max_rel = float(np.abs(sharded - single).max() / scale)

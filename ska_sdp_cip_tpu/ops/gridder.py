@@ -894,10 +894,9 @@ def build_invert(
             def group_contrib(image_accum, k, num_real):
                 # num_real: planes of this group < nplanes (static).
                 # Ragged-tail pad planes have all-zero grids, so their
-                # FFTs are simply skipped. In-group rotation: trig
-                # maps only for the group's first plane; later planes
-                # rotate by the loop-invariant (cos, sin)(2 pi dw geo)
-                # maps (see the predict driver's identical trick).
+                # FFTs are simply skipped. Per-plane screen trig is
+                # computed in full: rotating by loop-invariant dw maps
+                # measured NEUTRAL (see the NOTE in plane_contrib).
                 w_g = arrays["plane_wg"][k]
                 grids = group_grids(k, w_g)
                 contrib = image_accum

@@ -478,6 +478,16 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
     noout = "noout" in (
         __import__("os").environ.get("CIP_ABLATE") or ""
     ).split(",")
+    if noout:
+        import warnings
+
+        warnings.warn(
+            "CIP_ABLATE=noout is active: the degrid kernel built now "
+            "SKIPS its output DMA and returns WRONG visibilities "
+            "(timing-only ablation, baked in for this factory's "
+            "lifetime)",
+            stacklevel=2,
+        )
 
     def kernel(*refs):
         (

@@ -27,7 +27,9 @@ import numpy as np
 CHUNK_BYTES = 16 * 1024 * 1024
 
 #: Pool width: 4 concurrent streams measured ~2.2x the single-stream
-#: bandwidth; wider showed no further gain on the bench VM.
+#: bandwidth and wider streams showed no further BANDWIDTH gain; 6
+#: workers are kept so a couple of small-array transfers can ride
+#: alongside the 4 bulk streams without queueing behind them.
 MAX_WORKERS = 6
 
 
