@@ -77,11 +77,91 @@ void parallel_for(int64_t n, Fn fn) {
     for (auto& th : threads) th.join();
 }
 
-// Large scratch buffer backed by MAP_POPULATE'd anonymous memory.
-// On virtualized hosts with lazily-backed RAM, single-threaded
-// first-touch page faults run at ~64 MB/s while MAP_POPULATE
-// pre-faults at >3 GB/s (measured on a cloud TPU VM); vector::resize
-// zero-fills on one thread and pays the slow path for every buffer.
+// Pre-fault [p, p + bytes) with CONCURRENT touch threads. Faults on
+// lazily-backed VM memory are hypervisor-bound, not CPU-bound:
+// MAP_POPULATE (serial, in-kernel) decays to ~40-80 MB/s as process
+// RSS grows once the TPU runtime is loaded, while 8 concurrent fault
+// streams sustain 2-3 GB/s under the same pressure (measured on the
+// bench VM, 2026-08-21). One store per 4 KB page is enough.
+inline void parallel_prefault(void* p, size_t bytes) {
+    constexpr int kStreams = 8;
+    constexpr size_t kPage = 4096;
+    auto* base = static_cast<volatile char*>(p);
+    if (bytes < (size_t{1} << 20)) {
+        for (size_t o = 0; o < bytes; o += kPage) base[o] = 0;
+        return;
+    }
+    const size_t chunk = (bytes + kStreams - 1) / kStreams;
+    std::vector<std::thread> threads;
+    threads.reserve(kStreams);
+    for (int t = 0; t < kStreams; ++t) {
+        const size_t begin = t * chunk;
+        const size_t end = std::min(bytes, begin + chunk);
+        if (begin >= end) break;
+        threads.emplace_back([base, begin, end] {
+            for (size_t o = begin; o < end; o += kPage) base[o] = 0;
+        });
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Warm-buffer arena: freed PBuf blocks are kept (power-of-two
+// buckets) and reused instead of re-mmapped, because on the bench VM
+// the hypervisor's fault rate collapses to ~100 MB/s once process RSS
+// crosses ~1 GB while already-faulted pages rewrite at GB/s. The
+// process holds its high-water scratch footprint for its lifetime —
+// the right trade for a planning pipeline (mirrors
+// utils/hostmem.py's python-side arena).
+namespace {
+std::mutex g_buf_arena_mu;
+std::unordered_map<size_t, std::vector<void*>> g_buf_arena;
+
+inline void* arena_acquire(size_t bucket) {
+    std::lock_guard<std::mutex> lock(g_buf_arena_mu);
+    auto it = g_buf_arena.find(bucket);
+    if (it == g_buf_arena.end() || it->second.empty()) return nullptr;
+    void* p = it->second.back();
+    it->second.pop_back();
+    return p;
+}
+
+inline void arena_release(void* p, size_t bucket) {
+    std::lock_guard<std::mutex> lock(g_buf_arena_mu);
+    g_buf_arena[bucket].push_back(p);
+}
+
+inline size_t arena_bucket(size_t bytes) {
+    size_t b = size_t{1} << 20;
+    while (b < bytes) b <<= 1;
+    return b;
+}
+}  // namespace
+
+// Parallel memset(0) for warm (already-faulted) pages.
+inline void parallel_memzero(void* p, size_t bytes) {
+    constexpr int kStreams = 8;
+    auto* base = static_cast<char*>(p);
+    if (bytes < (size_t{1} << 20)) {
+        memset(base, 0, bytes);
+        return;
+    }
+    const size_t chunk = (bytes + kStreams - 1) / kStreams;
+    std::vector<std::thread> threads;
+    threads.reserve(kStreams);
+    for (int t = 0; t < kStreams; ++t) {
+        const size_t begin = t * chunk;
+        const size_t end = std::min(bytes, begin + chunk);
+        if (begin >= end) break;
+        threads.emplace_back(
+            [base, begin, end] { memset(base + begin, 0, end - begin); });
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Large scratch buffer backed by anonymous memory pre-faulted by
+// concurrent touch threads (parallel_prefault above) or reused warm
+// from the arena; vector::resize zero-fills on one thread and pays
+// the serial slow path for every buffer.
 template <typename T>
 class PBuf {
   public:
@@ -95,17 +175,27 @@ class PBuf {
         n_ = n;
         if (n <= 0) return;
         bytes_ = static_cast<size_t>(n) * sizeof(T);
-        void* p = mmap(nullptr, bytes_, PROT_READ | PROT_WRITE,
-                       MAP_PRIVATE | MAP_ANONYMOUS | MAP_POPULATE, -1, 0);
-        if (p == MAP_FAILED) {
-            // Fall back to plain mmap (still zeroed, lazily faulted).
-            p = mmap(nullptr, bytes_, PROT_READ | PROT_WRITE,
+        const size_t bucket = arena_bucket(bytes_);
+        void* p = arena_acquire(bucket);
+        if (p != nullptr) {
+            // Warm pages: zero the handed-out range in parallel at
+            // memory bandwidth (callers rely on zero fill).
+            parallel_memzero(p, bytes_);
+        } else {
+            p = mmap(nullptr, bucket, PROT_READ | PROT_WRITE,
                      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+            if (p == MAP_FAILED) {
+                data_ = nullptr;
+                n_ = 0;
+                bytes_ = 0;
+                return;
+            }
+            parallel_prefault(p, bucket);
         }
         data_ = static_cast<T*>(p);
     }
     void release() {
-        if (data_) munmap(data_, bytes_);
+        if (data_) arena_release(data_, arena_bucket(bytes_));
         data_ = nullptr;
         n_ = 0;
         bytes_ = 0;
@@ -687,12 +777,17 @@ void cip_slot_plan_sizes(int64_t handle, int64_t* num_blocks_out) {
 // packed (8, num_slots) row-major with rows {patch-relative x, patch-
 // relative y, ws, block_len broadcast, 0, 0, 0, 0}; flip_sign (+-1);
 // and the static w-shift phase factors cos/sin(phase_factor * ws).
+// packed / flip_sign / phase_cos / phase_sin may be NULL (compact
+// staging rebuilds them on device); order_enc, when non-NULL, gets
+// the source index with the conjugation flip in the sign
+// (flip ? -(src + 1) : src; padding keeps the positive pad_order).
 void cip_slot_plan_export(
     int64_t handle, int64_t num_blocks_padded, int32_t pad_order,
     int32_t* order, uint8_t* flip, int32_t* x0, int32_t* y0, float* fx,
     float* fy, float* ws, int32_t* blen, int32_t* box, int32_t* boy,
     int32_t* bin_lo, int32_t* bin_hi, float* packed, float* flip_sign,
-    double phase_factor, float* phase_cos, float* phase_sin) {
+    double phase_factor, float* phase_cos, float* phase_sin,
+    int32_t* order_enc) {
     SlotPlan* plan;
     {
         std::lock_guard<std::mutex> lock(g_plans_mu);
@@ -720,9 +815,13 @@ void cip_slot_plan_export(
             if (l < len) {
                 const int64_t start = plan->start_sorted[b];
                 const int64_t src = plan->src_sorted[start + l];
+                const bool neg = plan->flip[src] != 0;
                 order[slot] = (int32_t)src;
-                if (flip) flip[slot] = plan->flip[src];
-                flip_sign[slot] = plan->flip[src] ? -1.0f : 1.0f;
+                if (flip) flip[slot] = neg ? 1 : 0;
+                if (flip_sign) flip_sign[slot] = neg ? -1.0f : 1.0f;
+                if (order_enc)
+                    order_enc[slot] =
+                        neg ? (int32_t)(-src - 1) : (int32_t)src;
                 x0v = plan->x0[src];
                 y0v = plan->y0[src];
                 fxv = plan->fx[src];
@@ -731,7 +830,8 @@ void cip_slot_plan_export(
             } else {
                 order[slot] = pad_order;
                 if (flip) flip[slot] = 0;
-                flip_sign[slot] = 1.0f;
+                if (flip_sign) flip_sign[slot] = 1.0f;
+                if (order_enc) order_enc[slot] = pad_order;
                 x0v = pad_cell;
                 y0v = pad_cell;
                 fxv = 0.5f;
@@ -743,17 +843,21 @@ void cip_slot_plan_export(
             if (fx) fx[slot] = fxv;
             if (fy) fy[slot] = fyv;
             if (ws) ws[slot] = wsv;
-            const int32_t bx = real ? plan->box[b] : 0;
-            const int32_t by = real ? plan->boy[b] : 0;
-            packed[slot] = (float)(x0v - bx) + fxv;
-            packed[num_slots + slot] = (float)(y0v - by) + fyv;
-            packed[2 * num_slots + slot] = wsv;
-            packed[3 * num_slots + slot] = (float)len;
-            // Rows 4-7 (device-spliced visibilities + alignment pad)
-            // stay as the allocation's zero fill — no stores needed.
-            const double ph = phase_factor * (double)wsv;
-            phase_cos[slot] = (float)std::cos(ph);
-            phase_sin[slot] = (float)std::sin(ph);
+            if (packed) {
+                const int32_t bx = real ? plan->box[b] : 0;
+                const int32_t by = real ? plan->boy[b] : 0;
+                packed[slot] = (float)(x0v - bx) + fxv;
+                packed[num_slots + slot] = (float)(y0v - by) + fyv;
+                packed[2 * num_slots + slot] = wsv;
+                packed[3 * num_slots + slot] = (float)len;
+                // Rows 4-7 (device-spliced visibilities + alignment
+                // pad) stay as the allocation's zero fill.
+            }
+            if (phase_cos) {
+                const double ph = phase_factor * (double)wsv;
+                phase_cos[slot] = (float)std::cos(ph);
+                phase_sin[slot] = (float)std::sin(ph);
+            }
         }
     });
     parallel_for(num_blocks_padded, [&](int, int64_t bb, int64_t be) {

@@ -12,14 +12,27 @@ import numpy as np
 
 NGRID = int(sys.argv[1]) if len(sys.argv) > 1 else 15360
 REPEATS = 3
-# (chunk C, q-split QB, lane block MB)
+# (chunk C, q-split QB, lane block MB). The kernel's input DMA
+# fetches (n1, C, MB) blocks as n1*C strided rows of MB*4 bytes; at
+# MB=128 those are 512-byte descriptors measured at ~54 GB/s — wider
+# lane blocks mean 1-2 KB descriptors (fewer, longer bursts).
 CONFIGS = [
     (32, 1, 128),   # round-1 best: 46.1 ms at 15360
     (64, 1, 128),   # round-1 best: 45.7 ms
     (128, 1, 128),  # NC=1: single chunk per m-block
+    (16, 1, 256),
     (32, 1, 256),
     (64, 1, 256),
     (128, 1, 256),
+    (8, 1, 512),
+    (16, 1, 512),
+    (32, 1, 512),
+    (16, 2, 512),
+    (32, 2, 256),
+    (64, 2, 256),
+    (8, 1, 1024),
+    (16, 1, 1024),
+    (8, 2, 1024),
 ]
 
 

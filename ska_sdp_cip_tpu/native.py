@@ -78,7 +78,7 @@ def _declare(lib) -> None:
         ct.c_int64, ct.c_int64, ct.c_int32,
         i32p, u8p, i32p, i32p, fp, fp, fp,
         i32p, i32p, i32p, i32p, i32p,
-        fp, fp, ct.c_double, fp, fp,
+        fp, fp, ct.c_double, fp, fp, i32p,
     ]
     lib.cip_slot_plan_free.argtypes = [ct.c_int64]
     lib.cip_phase_cossin.argtypes = [
@@ -191,6 +191,7 @@ def build_slot_plan(
     pad_order: int = 0,
     phase_factor: float = 0.0,
     export_coords: bool = True,
+    export_packed: bool = True,
 ) -> dict:
     """
     Fused (uvw, freqs) -> block-slot plan layout: per-slot sample
@@ -205,6 +206,13 @@ def build_slot_plan(
     read only the packed columns, and the skip avoids ~170 MB of
     stores + first-touch page faults per 7M-slot plan on
     lazily-backed VM memory.
+
+    ``export_packed=False`` additionally skips the packed /
+    flip_sign / phase_cos / phase_sin columns (returned as None) and
+    emits ``order_enc`` instead (source index, conjugation flip in
+    the sign) — the compact staging path (ops/gridder.py:
+    build_assemble) rebuilds everything on device, and the skip
+    halves the export's host stores again.
     """
     lib = load_library()
     uvw = np.ascontiguousarray(uvw, np.float64)
@@ -258,12 +266,33 @@ def build_slot_plan(
             # staged; the drivers assemble the kernels' (8, V) DMA
             # layout on device (visibility rows 4/5 are per-call data,
             # rows 6/7 alignment padding).
-            "packed": alloc_populated(
-                4 * num_slots, np.float32
-            ).reshape(4, num_slots),
-            "flip_sign": alloc_populated(num_slots, np.float32),
-            "phase_cos": alloc_populated(num_slots, np.float32),
-            "phase_sin": alloc_populated(num_slots, np.float32),
+            "packed": (
+                alloc_populated(4 * num_slots, np.float32).reshape(
+                    4, num_slots
+                )
+                if export_packed
+                else None
+            ),
+            "flip_sign": (
+                alloc_populated(num_slots, np.float32)
+                if export_packed
+                else None
+            ),
+            "phase_cos": (
+                alloc_populated(num_slots, np.float32)
+                if export_packed
+                else None
+            ),
+            "phase_sin": (
+                alloc_populated(num_slots, np.float32)
+                if export_packed
+                else None
+            ),
+            "order_enc": (
+                None
+                if export_packed
+                else alloc_populated(num_slots, np.int32)
+            ),
         }
         lib.cip_slot_plan_export(
             handle,
@@ -286,6 +315,7 @@ def build_slot_plan(
             ctypes.c_double(phase_factor),
             _ptr(out["phase_cos"], ctypes.c_float),
             _ptr(out["phase_sin"], ctypes.c_float),
+            _ptr(out["order_enc"], ctypes.c_int32),
         )
     finally:
         lib.cip_slot_plan_free(handle)

@@ -144,6 +144,7 @@ def plan_host_arrays(
     *,
     gridder: str | None = None,
     slot_mode: bool = False,
+    include_packed: bool = True,
 ) -> dict:
     """
     Host (numpy) arrays of a plan — the per-visibility/per-block part
@@ -221,17 +222,18 @@ def plan_host_arrays(
                 ).astype(np.int32),
             }
         )
-    if plan.packed is not None:
-        packed4 = plan.packed
-    else:
-        from .pallas_gridder import pack_plan_columns
+    if include_packed:
+        if plan.packed is not None:
+            packed4 = plan.packed
+        else:
+            from .pallas_gridder import pack_plan_columns
 
-        packed4 = pack_plan_columns(plan)
-    # Stage only the 3 per-slot rows (xpos, ypos, ws): the block-length
-    # row is a per-BLOCK broadcast, rebuilt on device from the ~KB
-    # block_len table (_kernel_dma_rows) — ~25% less plan staging
-    # through the relay per 7M-slot plan.
-    arrays["packed"] = packed4[:3]
+            packed4 = pack_plan_columns(plan)
+        # Stage only the 3 per-slot rows (xpos, ypos, ws): the
+        # block-length row is a per-BLOCK broadcast, rebuilt on device
+        # from the ~KB block_len table (_kernel_dma_rows) — ~25% less
+        # plan staging through the relay per 7M-slot plan.
+        arrays["packed"] = packed4[:3]
     arrays["blk_lenf"] = plan.block_len.astype(np.float32)
     # Shifted factors: fftshift/ifftshift ride inside the DFT
     # matrices instead of costing full-array roll passes.
@@ -425,6 +427,240 @@ def stage_slot_weights(plan: GridderPlan, weights) -> np.ndarray:
     out = w[np.minimum(order, len(w) - 1)]
     out[order >= len(w) - 1] = 0.0
     return out
+
+
+# ---------------------------------------------------------------------
+# Compact staging: rebuild the per-slot plan rows and slot-ordered
+# visibilities ON DEVICE from the raw inputs, so the host->device
+# transfer carries ~2.2x fewer bytes. The staged per-slot data shrinks
+# to ONE int32 column (``order_enc``: source index with the conjugation
+# flip in the sign) plus tiny hi/lo-split uvw and frequency-scale
+# tables; visibilities transfer in DATA order (num_vis_data, not
+# num_slots). A jitted prologue (:func:`build_assemble`) re-derives the
+# (3, V) packed rows with double-float (f32 hi/lo) arithmetic — ~1e-9
+# cell agreement with the host f64 planner — and gathers/rotates the
+# visibilities into slot order. The reference's analog is ducc0
+# re-deriving grid coordinates inside every ms2dirty call
+# (reference: src/ska_sdp_cip/invert.py:170-183).
+# ---------------------------------------------------------------------
+
+
+def compact_plan_host_arrays(
+    plan: GridderPlan,
+    uvw: np.ndarray,
+    channel_frequencies: np.ndarray,
+) -> dict:
+    """
+    Host staging dict for the compact path: everything
+    :func:`plan_host_arrays` ``slot_mode=True`` stages EXCEPT the
+    (3, num_slots) f32 ``packed`` rows, which are replaced by
+
+    - ``order_enc`` (num_slots,) int32 — source sample index, with
+      w-conjugated samples encoded as ``-(index + 1)`` (padding slots
+      keep the positive ``num_vis_data`` sentinel);
+    - ``uvw_hi``/``uvw_lo`` (nrow, 3) f32 — hi/lo split of the f64
+      baseline coordinates (meters);
+    - ``scale_hi``/``scale_lo`` (nchan,) f32 — hi/lo split of
+      ``freq / c`` (1/m);
+    - ``cblock_ox`` (num_blocks,) int32 — per-block patch x-origin
+      (``block_oy`` is already staged for the kernels).
+
+    ``uvw``/``channel_frequencies`` must be the arrays the plan was
+    built from. Consumed by :func:`build_assemble`.
+    """
+    arrays = plan_host_arrays(
+        plan, slot_mode=True, include_packed=False
+    )
+    if plan.order_enc is not None:
+        # Native export (export_packed=False) emits this directly.
+        arrays["order_enc"] = plan.order_enc
+    else:
+        order = plan.order
+        if plan.flip_sign is not None:
+            flipped = plan.flip_sign < 0
+        elif plan.flip is not None:
+            flipped = plan.flip.astype(bool)
+        else:
+            flipped = np.zeros(len(order), bool)
+        arrays["order_enc"] = np.where(
+            flipped, -order.astype(np.int64) - 1, order
+        ).astype(np.int32)
+    uvw64 = np.ascontiguousarray(uvw, np.float64)
+    hi = uvw64.astype(np.float32)
+    arrays["uvw_hi"] = hi
+    arrays["uvw_lo"] = (uvw64 - hi).astype(np.float32)
+    scale = (
+        np.asarray(channel_frequencies, np.float64) / SPEED_OF_LIGHT
+    )
+    shi = scale.astype(np.float32)
+    arrays["scale_hi"] = shi
+    arrays["scale_lo"] = (scale - shi).astype(np.float32)
+    arrays["cblock_ox"] = plan.block_ox
+    return arrays
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: (s, e) with s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _two_prod(a, b):
+    """
+    Dekker/Veltkamp product: (p, e) with p + e == a * b exactly.
+    Robust whether or not XLA contracts the error expression into an
+    FMA (the FMA form ``fma(a, b, -p)`` is the same exact residual).
+    """
+    split = jnp.float32(4097.0)  # 2^12 + 1
+    p = a * b
+    abig = a * split
+    ahi = abig - (abig - a)
+    alo = a - ahi
+    bbig = b * split
+    bhi = bbig - (bbig - b)
+    blo = b - bhi
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+def _df_mul(ah, al, bh, bl):
+    """Double-float multiply: (ah+al) * (bh+bl) to ~48-bit precision."""
+    p, e = _two_prod(ah, bh)
+    e = e + (ah * bl + al * bh)
+    return _two_sum(p, e)
+
+
+def _df_add_exact(ah, al, b):
+    """Double-float plus an exactly-representable f32 value."""
+    s, e = _two_sum(ah, b)
+    return s, e + al
+
+
+def _df_grid_coord(bh, bl, sgn, sh, sl, inv_du, ngrid, support):
+    """
+    Grid coordinate ``mod(coord * freq/c / du + ngrid/2, ngrid) +
+    support`` in double-float, mirroring the host planner's f64 path
+    (native/cip_native.cpp geometry pass; ops/plan.py:1133-1136).
+    Returns an (hi, lo) pair in the alloc frame.
+    """
+    ih = jnp.float32(float(np.float32(inv_du)))
+    il = jnp.float32(float(inv_du) - float(np.float32(inv_du)))
+    xh, xl = _df_mul(bh * sgn, bl * sgn, sh, sl)
+    xh, xl = _df_mul(xh, xl, ih, il)
+    xh, xl = _df_add_exact(xh, xl, jnp.float32(ngrid / 2.0))
+    # Wrap into [0, ngrid): k is a small integer, so k * ngrid is
+    # exact in f32 and the subtraction stays double-float exact.
+    k = jnp.floor(xh / ngrid)
+    xh, xl = _df_add_exact(xh, xl, -k * jnp.float32(ngrid))
+    over = xh >= ngrid
+    xh = jnp.where(over, xh - ngrid, xh)
+    under = xh < 0
+    xh = jnp.where(under, xh + ngrid, xh)
+    return _df_add_exact(xh, xl, jnp.float32(support))
+
+
+def build_assemble(plan: GridderPlan):
+    """
+    Jitted device prologue for the compact staging path: rebuild the
+    kernels' per-slot ``packed`` rows (patch-relative x, y, |w|) and
+    gather/conjugate/pre-phase the data-order visibilities into slot
+    order. Returns ``assemble(arrays, re_data, im_data, wgt_data=None)
+    -> (arrays_with_packed, re_s, im_s[, wgt_s])``; feed the result
+    straight to ``build_invert(plan, slot_input=True)``.
+
+    Accuracy: positions agree with the host f64 planner to ~1e-9
+    cells (double-float arithmetic), far inside the gridder's epsilon
+    contract; the pre-phase trig is evaluated at f32 (phase arguments
+    are O(10) rad, giving ~1e-5 absolute phase agreement).
+    """
+    num_data = plan.num_vis_data
+    support = plan.support
+    ngrid = plan.ngrid
+    inv_du = 1.0 / plan.du
+    factor = np.float32(-2.0 * np.pi * plan.n_mid)
+    block = plan.block
+    wstacking = plan.wstacking
+
+    def assemble(arrays, re_data, im_data, wgt_data=None):
+        # --- DENSE data-order pass: geometry, flip, pre-phase ------
+        # Everything per-sample is computed as (nrow, nchan)
+        # broadcasts — pure VPU work, no gathers — so the slot pass
+        # below needs only ONE scalar gather per output row (TPU
+        # scalar gathers run ~1 element/cycle; halving their count
+        # halves the prologue).
+        uh2 = arrays["uvw_hi"][:, :, None]
+        ul2 = arrays["uvw_lo"][:, :, None]
+        sh = arrays["scale_hi"][None, :]
+        sl = arrays["scale_lo"][None, :]
+        # flip to w >= 0 (dirty image is real): sign from the DENSE
+        # w = bw * scale product, matching the host planner.
+        w_hi = uh2[:, 2] * sh
+        sgn_d = jnp.where(w_hi < 0, jnp.float32(-1.0), jnp.float32(1.0))
+        xh, xl = _df_grid_coord(
+            uh2[:, 0], ul2[:, 0], sgn_d, sh, sl,
+            inv_du, ngrid, support,
+        )
+        yh, yl = _df_grid_coord(
+            uh2[:, 1], ul2[:, 1], sgn_d, sh, sl,
+            inv_du, ngrid, support,
+        )
+        wh, wl = _df_mul(uh2[:, 2] * sgn_d, ul2[:, 2] * sgn_d, sh, sl)
+        xglob = (xh + xl).reshape(-1)
+        yglob = (yh + yl).reshape(-1)
+        ws_d = (wh + wl).reshape(-1)
+        sgn_d = sgn_d.reshape(-1)
+        re_d = re_data
+        im_d = im_data * sgn_d
+        if wstacking:
+            theta = factor * ws_d
+            cos = jnp.cos(theta)
+            sin = jnp.sin(theta)
+            re_d, im_d = (
+                re_d * cos - im_d * sin,
+                re_d * sin + im_d * cos,
+            )
+
+        # --- slot pass: one gather per output row ------------------
+        enc = arrays["order_enc"]
+        idx = jnp.where(enc < 0, -enc - 1, enc)
+        mask = idx < num_data
+        num_slots = enc.shape[0]
+        # Slots are exactly block-major: per-block origins broadcast,
+        # no gather needed (same trick as _kernel_dma_rows).
+        def per_block(table):
+            return (
+                jnp.broadcast_to(
+                    table[:, None], (table.shape[0], block)
+                )
+                .reshape(-1)[:num_slots]
+                .astype(jnp.float32)
+            )
+
+        box = per_block(arrays["cblock_ox"])
+        boy = per_block(arrays["block_oy"])
+
+        def slot_gather(data, fill):
+            return jnp.where(
+                mask, jnp.take(data, idx, mode="clip"), fill
+            )
+
+        pad_pos = jnp.float32(support + 0.5)
+        xpos = slot_gather(xglob, pad_pos + box) - box
+        ypos = slot_gather(yglob, pad_pos + boy) - boy
+        ws = slot_gather(ws_d, jnp.float32(0.0))
+
+        out = dict(arrays)
+        out["packed"] = jnp.stack([xpos, ypos, ws])
+        re_s = slot_gather(re_d, jnp.float32(0.0))
+        im_s = slot_gather(im_d, jnp.float32(0.0))
+        if wgt_data is None:
+            return out, re_s, im_s
+        return out, re_s, im_s, slot_gather(
+            wgt_data, jnp.float32(0.0)
+        )
+
+    return assemble
 
 
 def slot_duplicate_pairs(plan: GridderPlan) -> tuple:

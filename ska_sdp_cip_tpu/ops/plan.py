@@ -328,6 +328,10 @@ class GridderPlan:
     flip_sign: np.ndarray = field(repr=False, default=None)
     phase_cos: np.ndarray = field(repr=False, default=None)
     phase_sin: np.ndarray = field(repr=False, default=None)
+    #: Compact-staging column (export_packed=False): source sample
+    #: index per slot with the conjugation flip in the sign
+    #: (ops/gridder.py:compact_plan_host_arrays).
+    order_enc: np.ndarray = field(repr=False, default=None)
     step_aux: np.ndarray = field(repr=False, default=None)
     step_aux2: np.ndarray = field(repr=False, default=None)
     step_count: np.ndarray = field(repr=False, default=None)
@@ -883,6 +887,7 @@ def make_plan(
     min_planes: int = 1,
     w_range: tuple | None = None,
     export_coords: bool | None = None,
+    export_packed: bool = True,
 ) -> GridderPlan:
     """
     Build a :class:`GridderPlan` for visibilities ``uvw`` (nrow, 3) in
@@ -915,6 +920,12 @@ def make_plan(
     gridder mode (``CIP_GRIDDER``/backend): skipped exactly when the
     Pallas path will run. Callers that build BOTH paths from one plan
     (accuracy cross-checks) must pass ``True``.
+
+    ``export_packed=False`` (compact staging) skips the packed /
+    flip_sign / phase columns too and exports ``order_enc`` instead —
+    the device prologue (ops/gridder.py:build_assemble) rebuilds
+    everything on device. Such a plan can only feed the compact path
+    (``compact_plan_host_arrays`` + ``build_assemble``).
     """
     uvw = np.asarray(uvw, dtype=np.float64)
     freqs = np.asarray(channel_frequencies, dtype=np.float64)
@@ -1102,6 +1113,7 @@ def make_plan(
             # spurious per-slot rotation (round-2 advisor finding).
             phase_factor=(-2.0 * np.pi * n_mid) if wstacking else 0.0,
             export_coords=export_coords,
+            export_packed=export_packed,
         )
         num_blocks = slot["num_blocks"]
         num_blocks_padded = len(slot["block_len"])
@@ -1125,6 +1137,7 @@ def make_plan(
         slot_flip_sign = slot["flip_sign"]
         slot_phase_cos = slot["phase_cos"]
         slot_phase_sin = slot["phase_sin"]
+        slot_order_enc = slot["order_enc"]
     else:
         # Footprint start cell: W consecutive cells centred on the
         # coordinate, in the alloc frame (wrapped into [0, ngrid) then
@@ -1263,6 +1276,7 @@ def make_plan(
         slot_flip_sign = None
         slot_phase_cos = None
         slot_phase_sin = None
+        slot_order_enc = None
 
     # --- shared tail: plane windows, step programs, assembly ------------
     # Data bin q -> active plane window [q, q + W) (floor binning)
@@ -1369,5 +1383,6 @@ def make_plan(
         flip_sign=slot_flip_sign,
         phase_cos=slot_phase_cos,
         phase_sin=slot_phase_sin,
+        order_enc=slot_order_enc,
         **step_tables,
     )

