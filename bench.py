@@ -112,6 +112,14 @@ def main() -> None:
     _ = device_put_parallel(
         {"warm": np.zeros(8 * 1024 * 1024, np.float32)}, wait=True
     )
+    # Pre-fault the host allocation arenas for the plan build: the
+    # bench VM's fault rate collapses once jax + RSS are up
+    # (utils/hostmem.py), and paying that once here keeps the timed
+    # one-shot plan on warm pages — the production CLI does the same
+    # at startup.
+    from ska_sdp_cip_tpu.ops.plan import prewarm_plan_arenas
+
+    prewarm_plan_arenas(NUM_TIMES * NUM_ANTENNAS ** 2 // 2 * NUM_CHANNELS)
     warmup_seconds = time.time() - t_warm
 
     # One-shot staging, COMPACT + OVERLAPPED (round-5): the data-order

@@ -872,6 +872,18 @@ void cip_slot_plan_export(
     });
 }
 
+// Pre-fault scratch buffers of the given byte sizes and park them in
+// the warm-buffer arena, so a later plan build's PBufs skip the
+// (collapsed-regime) cold fault path entirely. Called during
+// untimed warmup/startup phases.
+void cip_arena_prewarm(const int64_t* sizes, int64_t n) {
+    std::vector<PBuf<char>*> bufs;
+    bufs.reserve(n);
+    for (int64_t i = 0; i < n; ++i)
+        bufs.push_back(new PBuf<char>(sizes[i]));
+    for (auto* b : bufs) delete b;  // destructor parks in the arena
+}
+
 void cip_slot_plan_free(int64_t handle) {
     std::lock_guard<std::mutex> lock(g_plans_mu);
     auto it = g_plans.find(handle);

@@ -148,6 +148,38 @@ def main() -> None:
     with tarfile.open(outdir / "mini_tsm.ms.tar.gz", "w:gz") as tar:
         tar.add(tsm_path, arcname="mini_tsm.ms")
 
+    # A TiledShapeStMan variant: DATA declared variable-shape (no
+    # fixed shape in the column desc, ndim=2) bound to TSSM — the
+    # manager the CASA filler commonly uses for DATA/FLAG. One cell
+    # shape for every row -> single hypercube, the subset TSSMFile
+    # decodes (io/casacore_tables.py).
+    tssm_path = outdir / "mini_tssm.ms"
+    tssm_dminfo = {
+        "*1": {
+            "TYPE": "TiledShapeStMan",
+            "NAME": "TiledShapeData",
+            "SPEC": {"DEFAULTTILESHAPE": [4, NUM_CHANNELS, 8]},
+            "COLUMNS": ["DATA"],
+        },
+    }
+    with default_ms(
+        str(tssm_path),
+        maketabdesc(
+            [
+                makearrcoldesc("DATA", 0.0 + 0j, ndim=2),
+            ]
+        ),
+        tssm_dminfo,
+    ) as ms:
+        ms.addrows(NUM_ROWS)
+        ms.putcol("UVW", uvw)
+        ms.putcol("TIME", time_col)
+        ms.putcol("DATA", data)
+        ms.putcol("FLAG", flag)
+        ms.putcol("WEIGHT", weight)
+    with tarfile.open(outdir / "mini_tssm.ms.tar.gz", "w:gz") as tar:
+        tar.add(tssm_path, arcname="mini_tssm.ms")
+
     # A third variant binding IncrementalStMan for the slowly-varying
     # scalars (TIME/UVW/WEIGHT), the way CASA-written observatory MSs
     # do — validates the native reader's ISM decode (also check into

@@ -96,6 +96,56 @@ def _write_tsm_table(path: Path, data: np.ndarray, nchan: int) -> None:
     (path / "table.f0_TSM0").write_bytes(bytes(blob))
 
 
+def _write_tssm_table(path: Path, data: np.ndarray, nchan: int) -> None:
+    """DATA bound to TiledShapeStMan: variable-shape column desc
+    (ndim=2, no fixed shape), cube + tile shapes in the manager
+    header, single hypercube (one cell shape for all rows)."""
+    from helpers.casacore_writer import _column_desc_frame
+
+    nrow = len(data)
+    path.mkdir(parents=True, exist_ok=True)
+    cols_payload = bytearray(
+        _column_desc_frame(
+            "DATA", TP_COMPLEX, True, (), "TiledShapeStMan", 0, ndim=2
+        )
+    )
+    desc = _Writer()
+    desc.frame("TableDesc", 1, bytes(cols_payload))
+    tab = _Writer()
+    tab.uint(nrow)
+    tab.uint(0)
+    tab.string("fake")
+    tab.buf += desc.buf
+    top = _Writer()
+    top.frame("Table", 2, bytes(tab.buf))
+    (path / "table.dat").write_bytes(bytes(top.buf))
+
+    cube_shape = (4, nchan, nrow)
+    tile = (4, nchan, 4)
+    hp = _Writer()
+    for shape in (cube_shape, tile):
+        ip = _Writer()
+        ip.uint(len(shape))
+        for d in shape:
+            ip.buf += struct.pack(">q", d)
+        ipf = _Writer()
+        ipf.frame("IPosition", 2, bytes(ip.buf))
+        hp.buf += ipf.buf
+    hdr = _Writer()
+    hdr.frame("TiledShapeStMan", 1, bytes(hp.buf))
+    (path / "table.f0").write_bytes(bytes(hdr.buf))
+
+    cube = np.transpose(data, (2, 1, 0))  # (4, nchan, nrow) Fortran
+    ntz = -(-nrow // tile[2])
+    padded = np.zeros((4, nchan, ntz * tile[2]), np.complex64)
+    padded[:, :, :nrow] = cube
+    blob = bytearray()
+    for tz in range(ntz):
+        block = padded[:, :, tz * tile[2] : (tz + 1) * tile[2]]
+        blob += block.ravel(order="F").astype(">c8").tobytes()
+    (path / "table.f0_TSM0").write_bytes(bytes(blob))
+
+
 def main() -> None:
     outdir = REPO / "tests" / "data"
     outdir.mkdir(parents=True, exist_ok=True)
@@ -175,9 +225,11 @@ def main() -> None:
         )
         # TSM-bound cube table
         _write_tsm_table(root / "tsm.ms", data, nchan)
+        # TSSM-bound cube table (variable-shape desc, single cube)
+        _write_tssm_table(root / "tssm.ms", data, nchan)
 
         with tarfile.open(outdir / "synthetic_ms.tar.gz", "w:gz") as tar:
-            for name in ("ssm.ms", "ism.ms", "tsm.ms"):
+            for name in ("ssm.ms", "ism.ms", "tsm.ms", "tssm.ms"):
                 tar.add(root / name, arcname=name)
 
     golden = {
@@ -200,6 +252,7 @@ def main() -> None:
             "UVW": _b64_npy(uvw),
         },
         "tsm": {"DATA": _b64_npy(data)},
+        "tssm": {"DATA": _b64_npy(data)},
     }
     (outdir / "synthetic_ms.golden.json").write_text(
         json.dumps(golden)

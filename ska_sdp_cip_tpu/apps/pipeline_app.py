@@ -172,6 +172,13 @@ def run_program(cli_args: list[str]) -> None:
     reader = VisibilityReader(args.dataset)
     sigma = args.sigma if args.sigma == "auto" else float(args.sigma)
 
+    # Pre-fault the host allocation arenas for the planner: on VM
+    # hosts whose fault rate collapses under memory pressure
+    # (utils/hostmem.py) this moves the cold-fault cost to startup.
+    from ..ops.plan import prewarm_plan_arenas
+
+    prewarm_plan_arenas(reader.num_data_rows * reader.num_channels)
+
     profile_ctx = None
     if args.profile_dir is not None:
         import jax

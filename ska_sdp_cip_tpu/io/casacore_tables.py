@@ -16,13 +16,16 @@ ingest needs (SURVEY 2b row 2):
                       cells in the aux array file.
 * subtable directories (SPECTRAL_WINDOW, POLARIZATION, FIELD, ...).
 
-TiledColumnStMan hypercubes (the manager real observatory MSs bind
-for DATA/FLAG) decode through :class:`TSMFile`; IncrementalStMan
-change-point columns (TIME, FIELD_ID, UVW, ... in CASA-written MSs)
-decode through :class:`ISMFile`. TiledShapeStMan and string/
-variable-shape ISM columns are detected and rejected with a clear
-error (MSs binding those must be ingested where python-casacore is
-available, for now).
+TiledColumnStMan hypercubes decode through :class:`TSMFile`;
+TiledShapeStMan (the manager the CASA filler commonly binds for
+DATA/FLAG on real observatory MSs) decodes through :class:`TSSMFile`
+for the single-hypercube case (one cell shape for every row — what
+the MS layout validation implies); IncrementalStMan change-point
+columns (TIME, FIELD_ID, UVW, ... in CASA-written MSs) decode
+through :class:`ISMFile`. Multi-shape TSSM and string/variable-shape
+ISM columns are detected and rejected with a clear error (MSs
+binding those must be ingested where python-casacore is available,
+for now).
 
 Format ground truth
 -------------------
@@ -295,6 +298,13 @@ class CasacoreTable:
             return reader.read_column(desc)
         if binding.kind == "TiledColumnStMan":
             reader = TSMFile(
+                self.path / f"table.f{binding.seqnr}",
+                self.num_rows,
+                binding,
+            )
+            return reader.read_column(desc)
+        if binding.kind == "TiledShapeStMan":
+            reader = TSSMFile(
                 self.path / f"table.f{binding.seqnr}",
                 self.num_rows,
                 binding,
@@ -916,68 +926,216 @@ class TSMFile:
             )
         raw = cube_path.read_bytes()
         cell = tuple(desc.shape)  # casacore order (fastest first)
-        cube_shape = cell + (self.num_rows,)
-        tile = self.tile_shape
-        ntiles = [
-            -(-cube_shape[a] // tile[a]) for a in range(len(tile))
-        ]
-        is_bool = desc.value_type == TP_BOOL
-        if is_bool:
-            tile_items = int(np.prod(tile))
-            tile_bytes = (tile_items + 7) // 8
-        else:
-            dtype = _DTYPES.get(desc.value_type)
-            if dtype is None:
-                raise CasacoreFormatError(
-                    f"unsupported TSM value type {desc.value_type} "
-                    f"for column {desc.name}"
-                )
-            tile_items = int(np.prod(tile))
-            tile_bytes = tile_items * dtype.itemsize
-        total_tiles = int(np.prod(ntiles))
-        if len(raw) < total_tiles * tile_bytes:
-            raise CasacoreFormatError(
-                f"TSM cube {cube_path} holds {len(raw)} bytes; "
-                f"{total_tiles} tiles of {tile_bytes} expected"
-            )
-        # Padded cube shape in numpy (row-major) axis order: reversed
-        # casacore order, tile grid Fortran-ordered over the cube.
-        out_padded = np.empty(
-            tuple(n * t for n, t in zip(ntiles, tile))[::-1],
-            bool if is_bool else dtype,
+        return _decode_tsm_cube(
+            raw,
+            cell,
+            self.tile_shape,
+            self.num_rows,
+            desc,
+            cube_path,
         )
-        rev_tile = tile[::-1]
-        for flat in range(total_tiles):
-            # Fortran order: first axis fastest.
-            rem, coords = flat, []
-            for n in ntiles:
-                coords.append(rem % n)
-                rem //= n
-            off = flat * tile_bytes
-            if is_bool:
-                bits = np.unpackbits(
-                    np.frombuffer(
-                        raw, np.uint8, count=tile_bytes, offset=off
-                    ),
-                    bitorder="little",
-                )
-                vals = bits[:tile_items].astype(bool)
-            else:
-                vals = np.frombuffer(
-                    raw, dtype, count=tile_items, offset=off
-                )
-            block = vals.reshape(rev_tile)  # Fortran cell -> reversed C
-            idx = tuple(
-                slice(c * t, (c + 1) * t)
-                for c, t in zip(coords[::-1], rev_tile)
+
+
+def _decode_tsm_cube(
+    raw: bytes,
+    cell: tuple,
+    tile: tuple,
+    num_rows: int,
+    desc: ColumnDesc,
+    cube_path: Path,
+    offset: int = 0,
+) -> np.ndarray:
+    """
+    Decode one TSM hypercube (Fortran-ordered grid of Fortran-ordered
+    tiles over ``cell + (num_rows,)``; bools bit-packed per tile,
+    tables/DataMan/TSMCube.cc) starting at ``offset`` of ``raw``.
+    Shared by TiledColumnStMan and TiledShapeStMan.
+    """
+    cube_shape = cell + (num_rows,)
+    ntiles = [-(-cube_shape[a] // tile[a]) for a in range(len(tile))]
+    is_bool = desc.value_type == TP_BOOL
+    if is_bool:
+        tile_items = int(np.prod(tile))
+        tile_bytes = (tile_items + 7) // 8
+    else:
+        dtype = _DTYPES.get(desc.value_type)
+        if dtype is None:
+            raise CasacoreFormatError(
+                f"unsupported TSM value type {desc.value_type} "
+                f"for column {desc.name}"
             )
-            out_padded[idx] = block
-        # Trim padding; numpy axes are (row, cell...) after reversal.
-        trim = tuple(slice(0, s) for s in cube_shape[::-1])
-        out = out_padded[trim]
-        if not is_bool and out.dtype.byteorder == ">":
-            out = out.astype(out.dtype.newbyteorder("="))
-        return np.ascontiguousarray(out)
+        tile_items = int(np.prod(tile))
+        tile_bytes = tile_items * dtype.itemsize
+    total_tiles = int(np.prod(ntiles))
+    if len(raw) - offset < total_tiles * tile_bytes:
+        raise CasacoreFormatError(
+            f"TSM cube {cube_path} holds {len(raw) - offset} bytes "
+            f"at offset {offset}; {total_tiles} tiles of "
+            f"{tile_bytes} expected"
+        )
+    # Padded cube shape in numpy (row-major) axis order: reversed
+    # casacore order, tile grid Fortran-ordered over the cube.
+    out_padded = np.empty(
+        tuple(n * t for n, t in zip(ntiles, tile))[::-1],
+        bool if is_bool else dtype,
+    )
+    rev_tile = tile[::-1]
+    for flat in range(total_tiles):
+        # Fortran order: first axis fastest.
+        rem, coords = flat, []
+        for n in ntiles:
+            coords.append(rem % n)
+            rem //= n
+        off = offset + flat * tile_bytes
+        if is_bool:
+            bits = np.unpackbits(
+                np.frombuffer(
+                    raw, np.uint8, count=tile_bytes, offset=off
+                ),
+                bitorder="little",
+            )
+            vals = bits[:tile_items].astype(bool)
+        else:
+            vals = np.frombuffer(
+                raw, dtype, count=tile_items, offset=off
+            )
+        block = vals.reshape(rev_tile)  # Fortran cell -> reversed C
+        idx = tuple(
+            slice(c * t, (c + 1) * t)
+            for c, t in zip(coords[::-1], rev_tile)
+        )
+        out_padded[idx] = block
+    # Trim padding; numpy axes are (row, cell...) after reversal.
+    trim = tuple(slice(0, s) for s in cube_shape[::-1])
+    out = out_padded[trim]
+    if not is_bool and out.dtype.byteorder == ">":
+        out = out.astype(out.dtype.newbyteorder("="))
+    return np.ascontiguousarray(out)
+
+
+class TSSMFile:
+    """
+    TiledShapeStMan decode — the manager the CASA filler commonly
+    binds for DATA/FLAG on real observatory MSs when cell shapes are
+    declared variable (tables/DataMan/TiledShapeStMan.cc). TSSM
+    organizes rows into one hypercube PER DISTINCT CELL SHAPE, each
+    extending along its last axis as rows arrive.
+
+    Supported subset: exactly ONE hypercube — i.e. every row shares
+    one cell shape, which is what
+    :class:`~ska_sdp_cip_tpu.io.visibility_dataset.VisibilityDataset`'s
+    layout validation (single SPECTRAL_WINDOW / single POLARIZATION,
+    reference: measurement_set.py:77-105) implies for the main-table
+    DATA/FLAG columns. Multi-shape MSs raise
+    :class:`CasacoreFormatError` and must be ingested where
+    python-casacore is available.
+
+    Header recovery is tolerant-scan based, like :class:`TSMFile`:
+    the ``table.f<seq>`` header must contain a 'TiledShapeStMan'
+    frame; the cube shape is recovered as the rank-(cell_rank+1)
+    IPosition whose last axis equals the table's row count, and the
+    tile shape as a distinct rank-matched IPosition that divides into
+    the cube's extents. Byte-level agreement with real casacore
+    output is asserted by the ingest-casacore CI job on a TSSM-bound
+    fixture variant (scripts/make_ms_fixture.py).
+    """
+
+    def __init__(
+        self, path: Path, num_rows: int, binding: DataManagerBinding
+    ):
+        self.path = path
+        self.num_rows = num_rows
+        self.binding = binding
+        if len(binding.column_descs) != 1:
+            raise CasacoreFormatError(
+                "TiledShapeStMan instance with "
+                f"{len(binding.column_descs)} columns (expected one "
+                f"per instance): {binding.columns}"
+            )
+        self._parse_header()
+
+    def _iter_ipositions(self, data: bytes):
+        marker = struct.pack(">I", 9) + b"IPosition"
+        pos = data.find(marker)
+        while pos >= 4:
+            try:
+                io = AipsIOReader(data, pos - 4)
+                yield io.get_iposition()
+            except CasacoreFormatError:
+                pass
+            pos = data.find(marker, pos + 1)
+
+    def _parse_header(self) -> None:
+        data = self.path.read_bytes()
+        if data.find(b"TiledShapeStMan") < 0:
+            raise CasacoreFormatError(
+                f"no 'TiledShapeStMan' header frame in {self.path}"
+            )
+        desc = self.binding.column_descs[0]
+        # Candidate shapes: every plausible IPosition in the header.
+        # The cube shape is the one whose LAST axis matches the row
+        # count (single-cube TSSM extends the row axis); fixed-shape
+        # descs additionally pin the cell dims.
+        want_rank = (len(desc.shape) or desc.ndim) + 1
+        if want_rank < 2:
+            raise CasacoreFormatError(
+                f"column {desc.name!r}: TSSM needs array cells "
+                f"(ndim {desc.ndim})"
+            )
+        cubes = []
+        tiles = []
+        for shape in self._iter_ipositions(data):
+            if len(shape) != want_rank or not all(
+                1 <= d <= 100_000_000 for d in shape
+            ):
+                continue
+            if shape[-1] == self.num_rows and (
+                not desc.shape or shape[:-1] == tuple(desc.shape)
+            ):
+                if shape not in cubes:
+                    cubes.append(shape)
+            elif all(d <= 1_000_000 for d in shape):
+                if shape not in tiles:
+                    tiles.append(shape)
+        if len(cubes) != 1:
+            raise CasacoreFormatError(
+                f"{self.path}: found {len(cubes)} candidate TSSM "
+                f"hypercubes for column {desc.name!r} "
+                f"(rank {want_rank}, {self.num_rows} rows); only "
+                "single-hypercube (one cell shape for all rows) "
+                "TiledShapeStMan is supported"
+            )
+        self.cube_shape = cubes[0]
+        cell = self.cube_shape[:-1]
+        tile_shape = None
+        for cand in tiles:
+            if all(
+                c <= m for c, m in zip(cand[:-1], cell)
+            ) and cand != self.cube_shape:
+                tile_shape = cand
+                break
+        if tile_shape is None:
+            raise CasacoreFormatError(
+                f"no tile-shape IPosition compatible with cube "
+                f"{self.cube_shape} in {self.path} header"
+            )
+        self.tile_shape = tile_shape
+
+    def read_column(self, desc: ColumnDesc) -> np.ndarray:
+        cube_path = self.path.with_name(self.path.name + "_TSM0")
+        if not cube_path.exists():
+            raise CasacoreFormatError(
+                f"missing TSM cube file {cube_path}"
+            )
+        raw = cube_path.read_bytes()
+        return _decode_tsm_cube(
+            raw,
+            self.cube_shape[:-1],
+            self.tile_shape,
+            self.num_rows,
+            desc,
+            cube_path,
+        )
 
 
 class ISMFile:

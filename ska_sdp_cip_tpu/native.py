@@ -81,6 +81,7 @@ def _declare(lib) -> None:
         fp, fp, ct.c_double, fp, fp, i32p,
     ]
     lib.cip_slot_plan_free.argtypes = [ct.c_int64]
+    lib.cip_arena_prewarm.argtypes = [i64p, ct.c_int64]
     lib.cip_phase_cossin.argtypes = [
         fp, ct.c_int64, ct.c_double, fp, fp
     ]
@@ -321,6 +322,16 @@ def build_slot_plan(
         lib.cip_slot_plan_free(handle)
     out["num_blocks"] = num_blocks
     return out
+
+
+def arena_prewarm(sizes) -> None:
+    """Pre-fault C++ scratch buffers of the given byte sizes into the
+    native warm-buffer arena (no-op without the native library)."""
+    lib = load_library()
+    if lib is None or not len(sizes):
+        return
+    arr = np.ascontiguousarray(sizes, np.int64)
+    lib.cip_arena_prewarm(_ptr(arr, ctypes.c_int64), len(arr))
 
 
 def phase_cossin(ws: np.ndarray, factor: float) -> tuple:

@@ -621,7 +621,11 @@ def build_assemble(plan: GridderPlan):
                 re_d * sin + im_d * cos,
             )
 
-        # --- slot pass: one gather per output row ------------------
+        # --- slot pass: ONE row gather ------------------------------
+        # TPU gathers are per-index latency-bound: 7 scalar gathers of
+        # 7.1M measured 383 ms while one (N, 8)-row gather moving the
+        # same payload measured 130 ms (2026-08-21 chip probe). All
+        # per-sample values ride one dense (N, 8) table.
         enc = arrays["order_enc"]
         idx = jnp.where(enc < 0, -enc - 1, enc)
         mask = idx < num_data
@@ -640,25 +644,39 @@ def build_assemble(plan: GridderPlan):
         box = per_block(arrays["cblock_ox"])
         boy = per_block(arrays["block_oy"])
 
-        def slot_gather(data, fill):
-            return jnp.where(
-                mask, jnp.take(data, idx, mode="clip"), fill
-            )
+        zero = jnp.zeros_like(re_d)
+        table = jnp.stack(
+            [
+                xglob,
+                yglob,
+                ws_d,
+                re_d,
+                im_d,
+                zero if wgt_data is None else wgt_data,
+                zero,
+                zero,
+            ],
+            axis=1,
+        )
+        g = jnp.take(table, idx, axis=0, mode="clip")
+
+        def col(k, fill):
+            return jnp.where(mask, g[:, k], fill)
 
         pad_pos = jnp.float32(support + 0.5)
-        xpos = slot_gather(xglob, pad_pos + box) - box
-        ypos = slot_gather(yglob, pad_pos + boy) - boy
-        ws = slot_gather(ws_d, jnp.float32(0.0))
-
         out = dict(arrays)
-        out["packed"] = jnp.stack([xpos, ypos, ws])
-        re_s = slot_gather(re_d, jnp.float32(0.0))
-        im_s = slot_gather(im_d, jnp.float32(0.0))
+        out["packed"] = jnp.stack(
+            [
+                col(0, pad_pos + box) - box,
+                col(1, pad_pos + boy) - boy,
+                col(2, jnp.float32(0.0)),
+            ]
+        )
+        re_s = col(3, jnp.float32(0.0))
+        im_s = col(4, jnp.float32(0.0))
         if wgt_data is None:
             return out, re_s, im_s
-        return out, re_s, im_s, slot_gather(
-            wgt_data, jnp.float32(0.0)
-        )
+        return out, re_s, im_s, col(5, jnp.float32(0.0))
 
     return assemble
 

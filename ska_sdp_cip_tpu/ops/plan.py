@@ -871,6 +871,33 @@ def resolve_sigma(
     return min(SIGMA_CANDIDATES, key=cost)
 
 
+def prewarm_plan_arenas(num_vis: int) -> None:
+    """
+    Pre-fault the host allocation arenas (python + native) for a
+    subsequent :func:`make_plan` of ~``num_vis`` samples, so the
+    timed planning path hits warm pages instead of the bench VM's
+    collapsed-regime cold faults (utils/hostmem.py). Intended for
+    untimed warmup/startup phases (bench.py warmup, CLI start).
+    Idempotent in effect: buffers park in the arenas and are reused.
+    """
+    from .. import native as _native
+    from ..utils.hostmem import alloc_populated
+
+    n = int(num_vis)
+    if n <= 0:
+        return
+    ns = int(n * 1.3) + 1024  # slots: straddlers + block padding
+    # Native planner scratch (build_slot_plan): per-sample geometry
+    # columns, sort key, extended/sorted index arrays.
+    _native.arena_prewarm(
+        [n, 4 * n, 4 * n, 4 * n, 4 * n, 4 * n, 8 * n]
+        + [8 * ns, 8 * ns, 8 * ns]
+    )
+    # Python-side export buffers (order / order_enc or packed rows).
+    held = [alloc_populated(ns, np.int32) for _ in range(2)]
+    del held  # finalizers park the buffers in the arena
+
+
 def make_plan(
     uvw: np.ndarray,
     channel_frequencies: np.ndarray,

@@ -45,8 +45,12 @@ class _Writer:
 
 
 def _column_desc_frame(
-    name, value_type, is_array, shape, dm_type, options
+    name, value_type, is_array, shape, dm_type, options, ndim=None
 ) -> bytes:
+    """``ndim`` overrides the written dimensionality for
+    variable-shape array columns (shape empty, ndim known — the
+    TiledShapeStMan binding); the shape IPosition is then written
+    with rank 0."""
     w = _Writer()
     w.string("ArrayColumnDesc" if is_array else "ScalarColumnDesc")
     w.uint(1)  # payload version
@@ -56,8 +60,8 @@ def _column_desc_frame(
     w.string("")  # group
     w.int_(value_type)
     w.int_(options)
-    w.int_(len(shape))
-    if is_array and shape:
+    w.int_(len(shape) if ndim is None else ndim)
+    if is_array and (shape or ndim):
         ip = _Writer()
         ip.uint(len(shape))
         for d in shape:

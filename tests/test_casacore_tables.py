@@ -275,6 +275,108 @@ def test_read_tiled_column(tmp_path):
     np.testing.assert_array_equal(got, data)
 
 
+def test_read_tiled_shape(tmp_path):
+    """TiledShapeStMan single-hypercube decode: variable-shape DATA
+    column (ndim known, no fixed shape), cube + tile shapes recovered
+    from the manager header, same Fortran tile-grid layout as TCSM."""
+    rng = np.random.default_rng(9)
+    nrow, nchan = 11, 5
+    data = (
+        rng.normal(size=(nrow, nchan, 4))
+        + 1j * rng.normal(size=(nrow, nchan, 4))
+    ).astype(np.complex64)
+    path = tmp_path / "tssm.tbl"
+    _write_fake_table(path, [], nrow)
+
+    # DATA bound to TiledShapeStMan, declared variable-shape (ndim=2).
+    cols = _column_desc_frame(
+        "DATA", TP_COMPLEX, True, (), "TiledShapeStMan", 0, ndim=2
+    )
+    desc = _Writer()
+    desc.frame("TableDesc", 1, bytes(cols))
+    tab = _Writer()
+    tab.uint(nrow)
+    tab.uint(0)
+    tab.string("fake")
+    tab.buf += desc.buf
+    top = _Writer()
+    top.frame("Table", 2, bytes(tab.buf))
+    (path / "table.dat").write_bytes(bytes(top.buf))
+
+    # TSSM header: manager frame holding the hypercube shape
+    # (cell + row axis) and the tile shape.
+    cube = (4, nchan, nrow)
+    tile = (4, nchan, 4)
+    hp = _Writer()
+    for shape in (cube, tile):
+        ip = _Writer()
+        ip.uint(len(shape))
+        for d in shape:
+            ip.buf += struct.pack(">q", d)
+        ipf = _Writer()
+        ipf.frame("IPosition", 2, bytes(ip.buf))
+        hp.buf += ipf.buf
+    hdr = _Writer()
+    hdr.frame("TiledShapeStMan", 1, bytes(hp.buf))
+    (path / "table.f0").write_bytes(bytes(hdr.buf))
+
+    # Cube blob: Fortran grid of Fortran tiles over (4, nchan, nrow).
+    cube_arr = np.transpose(data, (2, 1, 0))
+    ntiles_row = -(-nrow // tile[2])
+    padded = np.zeros(
+        (4, nchan, ntiles_row * tile[2]), np.complex64
+    )
+    padded[:, :, :nrow] = cube_arr
+    blob = bytearray()
+    for tz in range(ntiles_row):
+        block = padded[:, :, tz * tile[2] : (tz + 1) * tile[2]]
+        blob += block.ravel(order="F").astype(">c8").tobytes()
+    (path / "table.f0_TSM0").write_bytes(bytes(blob))
+
+    tbl = read_table(path)
+    got = tbl.getcol("DATA")
+    np.testing.assert_array_equal(got, data)
+
+
+def test_tiled_shape_multi_cube_rejected(tmp_path):
+    """Two distinct rank-3 cube candidates (neither matching the row
+    count) must raise, not silently decode the wrong hypercube."""
+    nrow = 7
+    path = tmp_path / "tssm_bad.tbl"
+    _write_fake_table(path, [], nrow)
+    cols = _column_desc_frame(
+        "DATA", TP_COMPLEX, True, (), "TiledShapeStMan", 0, ndim=2
+    )
+    desc = _Writer()
+    desc.frame("TableDesc", 1, bytes(cols))
+    tab = _Writer()
+    tab.uint(nrow)
+    tab.uint(0)
+    tab.string("fake")
+    tab.buf += desc.buf
+    top = _Writer()
+    top.frame("Table", 2, bytes(tab.buf))
+    (path / "table.dat").write_bytes(bytes(top.buf))
+    # Header with two cubes of rank 3 whose row axes sum to nrow —
+    # a genuine multi-shape TSSM (4 and 3 rows of different nchan).
+    hp = _Writer()
+    for shape in ((4, 5, 4), (4, 8, 3), (4, 5, 2)):
+        ip = _Writer()
+        ip.uint(len(shape))
+        for d in shape:
+            ip.buf += struct.pack(">q", d)
+        ipf = _Writer()
+        ipf.frame("IPosition", 2, bytes(ip.buf))
+        hp.buf += ipf.buf
+    hdr = _Writer()
+    hdr.frame("TiledShapeStMan", 1, bytes(hp.buf))
+    (path / "table.f0").write_bytes(bytes(hdr.buf))
+    (path / "table.f0_TSM0").write_bytes(b"\0" * 1024)
+    tbl = read_table(path)
+    with pytest.raises(CasacoreFormatError, match="hypercube"):
+        tbl.getcol("DATA")
+
+
 # ----------------------------------------------------------------------
 # IncrementalStMan plumbing (self-consistent format)
 # ----------------------------------------------------------------------
@@ -402,4 +504,9 @@ def test_frozen_fixture_columns(tmp_path):
     tsm = read_table(tmp_path / "tsm.ms")
     np.testing.assert_array_equal(
         tsm.getcol("DATA"), _b64_to_npy(golden["tsm"]["DATA"])
+    )
+
+    tssm = read_table(tmp_path / "tssm.ms")
+    np.testing.assert_array_equal(
+        tssm.getcol("DATA"), _b64_to_npy(golden["tssm"]["DATA"])
     )
