@@ -462,8 +462,10 @@ struct SlotPlan {
     int64_t num_blocks = 0;
     int64_t block = 0;
     int64_t nbins = 0, ntiles_y = 0, tile_x = 0, tile_y = 0;
-    // per source sample
+    // per source sample (x0..ws empty when built with
+    // store_coords=0 — the compact export reads only flip)
     PBuf<uint8_t> flip;
+    PBuf<uint8_t> straddle;
     PBuf<int32_t> x0, y0;
     PBuf<float> fx, fy, ws;
     // per sorted slot
@@ -481,11 +483,16 @@ int64_t g_next_handle = 1;
 
 extern "C" {
 
+// store_coords=0 (compact export): the per-sample x0/y0/fx/fy/ws
+// columns are never read back — only flip (conjugation sign) and the
+// lane-straddle flag — so their ~20 B/sample stores (and page
+// faults) are skipped entirely.
 int64_t cip_slot_plan_build(
     const double* uvw, int64_t nrow, const double* freqs, int64_t nchan,
     double inv_du, int64_t ngrid, int64_t support, int64_t tile_x,
     int64_t tile_y, int64_t ntiles_y, int wstacking, double w0_plane,
-    double inv_dw, int64_t nbins, int64_t block, int64_t bin_group) {
+    double inv_dw, int64_t nbins, int64_t block, int64_t bin_group,
+    int store_coords) {
     PhaseTimer timer;
     auto* plan = new SlotPlan();
     const int64_t n = nrow * nchan;
@@ -498,11 +505,14 @@ int64_t cip_slot_plan_build(
     plan->tile_y = tile_y;
 
     plan->flip.reset(n);
-    plan->x0.reset(n);
-    plan->y0.reset(n);
-    plan->fx.reset(n);
-    plan->fy.reset(n);
-    plan->ws.reset(n);
+    plan->straddle.reset(n);
+    if (store_coords) {
+        plan->x0.reset(n);
+        plan->y0.reset(n);
+        plan->fx.reset(n);
+        plan->fy.reset(n);
+        plan->ws.reset(n);
+    }
     PBuf<int64_t> key(n);
     timer.mark("alloc_sample");
 
@@ -525,7 +535,6 @@ int64_t cip_slot_plan_build(
                 const bool neg = w < 0.0;
                 if (neg) { u = -u; v = -v; w = -w; }
                 plan->flip[i] = neg ? 1 : 0;
-                plan->ws[i] = static_cast<float>(w);
 
                 double x = std::fmod(u * inv_du + half_grid, (double)ngrid);
                 if (x < 0) x += ngrid;
@@ -536,10 +545,13 @@ int64_t cip_slot_plan_build(
 
                 const int64_t cx = (int64_t)std::floor(x) - half + 1;
                 const int64_t cy = (int64_t)std::floor(y) - half + 1;
-                plan->x0[i] = (int32_t)cx;
-                plan->y0[i] = (int32_t)cy;
-                plan->fx[i] = (float)(x - (double)cx);
-                plan->fy[i] = (float)(y - (double)cy);
+                if (store_coords) {
+                    plan->x0[i] = (int32_t)cx;
+                    plan->y0[i] = (int32_t)cy;
+                    plan->fx[i] = (float)(x - (double)cx);
+                    plan->fy[i] = (float)(y - (double)cy);
+                    plan->ws[i] = static_cast<float>(w);
+                }
 
                 int64_t bin = 0;
                 if (wstacking) {
@@ -550,7 +562,9 @@ int64_t cip_slot_plan_build(
                 const int64_t tid = (cx / tile_x) * ntiles_y
                                   + (cy / tile_y);
                 key[i] = tid * nbins + bin;
-                if ((cy % tile_y) > straddle_min) ++dups;
+                const bool strad = (cy % tile_y) > straddle_min;
+                plan->straddle[i] = strad ? 1 : 0;
+                if (strad) ++dups;
             }
         }
         dup_counts[t] += dups;
@@ -584,7 +598,7 @@ int64_t cip_slot_plan_build(
                     const int64_t i = r * nchan + c;
                     src_ext[i] = i;
                     key_ext[i] = key[i];
-                    if ((plan->y0[i] % tile_y) > straddle_min) {
+                    if (plan->straddle[i]) {
                         src_ext[pos] = i;
                         key_ext[pos] = key[i] + nbins;
                         ++pos;
@@ -796,6 +810,13 @@ void cip_slot_plan_export(
     const int64_t B = plan->block;
     const int32_t pad_cell = (int32_t)plan->support;
     const int64_t num_slots = num_blocks_padded * B;
+    const bool have_coords = plan->x0.size() > 0;
+    if ((packed || x0 || y0 || fx || fy || ws) && !have_coords) {
+        fprintf(stderr,
+                "cip_slot_plan_export: coordinate outputs requested "
+                "from a store_coords=0 plan\n");
+        return;
+    }
     // Any of the per-slot coordinate outputs (flip, x0, y0, fx, fy,
     // ws) may be NULL: the Pallas path reads only the packed columns,
     // and skipping the coordinate exports avoids ~170 MB of stores +
@@ -822,11 +843,11 @@ void cip_slot_plan_export(
                 if (order_enc)
                     order_enc[slot] =
                         neg ? (int32_t)(-src - 1) : (int32_t)src;
-                x0v = plan->x0[src];
-                y0v = plan->y0[src];
-                fxv = plan->fx[src];
-                fyv = plan->fy[src];
-                wsv = plan->ws[src];
+                x0v = have_coords ? plan->x0[src] : pad_cell;
+                y0v = have_coords ? plan->y0[src] : pad_cell;
+                fxv = have_coords ? plan->fx[src] : 0.5f;
+                fyv = have_coords ? plan->fy[src] : 0.5f;
+                wsv = have_coords ? plan->ws[src] : 0.0f;
             } else {
                 order[slot] = pad_order;
                 if (flip) flip[slot] = 0;

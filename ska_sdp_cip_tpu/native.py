@@ -71,6 +71,7 @@ def _declare(lib) -> None:
         dp, ct.c_int64, dp, ct.c_int64, ct.c_double, ct.c_int64,
         ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int,
         ct.c_double, ct.c_double, ct.c_int64, ct.c_int64, ct.c_int64,
+        ct.c_int,
     ]
     lib.cip_slot_plan_build.restype = ct.c_int64
     lib.cip_slot_plan_sizes.argtypes = [ct.c_int64, i64p]
@@ -235,6 +236,9 @@ def build_slot_plan(
         num_bins,
         block,
         max(int(bin_group), 1),
+        # Per-sample coordinate stores are only needed when the
+        # export will read them (coords or packed rows).
+        int(bool(export_coords or export_packed)),
     )
     try:
         nb = ctypes.c_int64()
