@@ -35,6 +35,16 @@ CONFIGS = [
     (8, 2, 1024),
 ]
 
+# Env override: CIP_FFT_SWEEP="c,qb,mb;c,qb,mb;..." selects a subset
+# (relay compiles are slow; a full sweep can exceed one run's budget).
+_env = __import__("os").environ.get("CIP_FFT_SWEEP")
+if _env:
+    CONFIGS = [
+        tuple(int(x) for x in part.split(","))
+        for part in _env.split(";")
+        if part.strip()
+    ]
+
 
 def main() -> None:
     import jax

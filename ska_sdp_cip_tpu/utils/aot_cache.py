@@ -39,11 +39,32 @@ def default_cache_dir() -> Path:
     return Path.home() / ".cache" / "cip_aot"
 
 
+_code_fp: str | None = None
+
+
+def code_fingerprint() -> str:
+    """
+    Hash of the compute-path sources (``ops/*.py``): a kernel edit
+    must invalidate cached executables — unlike the line-number-
+    sensitive jax compilation cache, this is the ONLY source
+    sensitivity the AOT key carries.
+    """
+    global _code_fp
+    if _code_fp is None:
+        ops_dir = Path(__file__).parent.parent / "ops"
+        h = hashlib.sha256()
+        for path in sorted(ops_dir.glob("*.py")):
+            h.update(path.read_bytes())
+        _code_fp = h.hexdigest()[:16]
+    return _code_fp
+
+
 def cache_key(*parts) -> str:
     """
     Stable key over caller-chosen semantic parts plus everything that
     invalidates a serialized executable: jax version, backend
-    platform, device kind and device count.
+    platform, device kind and device count, and the compute-path
+    source fingerprint.
     """
     import jax
 
@@ -54,6 +75,7 @@ def cache_key(*parts) -> str:
         devices[0].platform,
         getattr(devices[0], "device_kind", ""),
         len(devices),
+        code_fingerprint(),
     )
     return hashlib.sha256(repr(ident).encode()).hexdigest()[:32]
 

@@ -127,6 +127,34 @@ def test_compact_plan_without_packed_export(problem):
     assert np.abs(img - img_classic).max() / scale < 1e-5
 
 
+def test_dirty_image_compact_path(monkeypatch, tmp_path):
+    """dirty_image's compact (Pallas-mode) branch — device prologue +
+    AOT-cached executable — must match the classic XLA-path result."""
+    from ska_sdp_cip_tpu.ops.gridder import dirty_image
+
+    uvw, _ = synthetic_uvw(2, 12, max_baseline_m=4000.0, seed=3)
+    freqs = np.linspace(1.4e9, 1.42e9, 2)
+    rng = np.random.default_rng(8)
+    shape = (len(uvw), 2)
+    vis = (
+        rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    ).astype(np.complex64)
+    wgt = rng.uniform(0.5, 2.0, size=shape).astype(np.float32)
+    pixel_size_lm = float(np.sin(np.radians(20.0 / 3600.0)))
+
+    monkeypatch.delenv("CIP_GRIDDER", raising=False)
+    classic = dirty_image(
+        uvw, freqs, vis, wgt, 128, pixel_size_lm, epsilon=1e-3
+    )
+    monkeypatch.setenv("CIP_GRIDDER", "pallas_interpret")
+    monkeypatch.setenv("CIP_AOT_CACHE", str(tmp_path / "aot"))
+    compact = dirty_image(
+        uvw, freqs, vis, wgt, 128, pixel_size_lm, epsilon=1e-3
+    )
+    scale = np.abs(classic).max()
+    assert np.abs(compact - classic).max() / scale < 1e-4
+
+
 def test_packed_rows_match_host_python_planner(monkeypatch):
     """Same agreement when the plan comes from the numpy fallback
     planner (no native engine): order/flip come from ``plan.flip``
