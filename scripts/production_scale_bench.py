@@ -67,6 +67,18 @@ def main() -> None:
     report = {}
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
         out = Path(tmp)
+        # Arena prewarm at process start: the bench VM's fault rate
+        # collapses once RSS grows (utils/hostmem.py), so the
+        # planner's scratch pages are faulted NOW, at the fresh
+        # process's 2-3 GB/s, instead of mid-pipeline at ~130 MB/s.
+        t0 = time.time()
+        from ska_sdp_cip_tpu.ops.plan import prewarm_plan_arenas
+
+        prewarm_plan_arenas(
+            num_times * num_antennas * (num_antennas - 1) // 2
+            * num_channels
+        )
+        report["prewarm_s"] = round(time.time() - t0, 1)
         t0 = time.time()
         dataset = make_synthetic_dataset(
             out / "obs.vz",

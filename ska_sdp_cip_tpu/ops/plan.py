@@ -769,6 +769,10 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
                 num_blocks=num_blocks,
                 max_active=max_active,
                 order=_pad1(p.order, num_vis, p.num_vis_data),
+                # Positive pad sentinel: pad slots decode to
+                # idx == num_vis_data and are masked by the device
+                # prologue (ops/gridder.py:build_assemble).
+                order_enc=_pad1(p.order_enc, num_vis, p.num_vis_data),
                 flip=_pad1(p.flip, num_vis, False),
                 x0=_pad1(p.x0, num_vis, p.support),
                 y0=_pad1(p.y0, num_vis, p.support),
@@ -893,8 +897,11 @@ def prewarm_plan_arenas(num_vis: int) -> None:
         [n, 4 * n, 4 * n, 4 * n, 4 * n, 4 * n, 8 * n]
         + [8 * ns, 8 * ns, 8 * ns]
     )
-    # Python-side export buffers (order / order_enc or packed rows).
+    # Python-side export buffers: order + order_enc (compact) and the
+    # packed/flip/phase columns (classic export).
     held = [alloc_populated(ns, np.int32) for _ in range(2)]
+    held += [alloc_populated(4 * ns, np.float32)]  # packed rows
+    held += [alloc_populated(ns, np.float32) for _ in range(3)]
     del held  # finalizers park the buffers in the arena
 
 

@@ -160,6 +160,7 @@ def stage_sharded_inputs(
     step=None,
     sigma: float | str = 2.0,
     common_w_grid: bool = False,
+    slot_mode: bool = False,
 ) -> ShardedStaging:
     """
     Partition, load, plan, and stage a dataset onto a device mesh:
@@ -304,11 +305,14 @@ def stage_sharded_inputs(
             )
             for index, shard in shards.items()
         }
-        return stage_planned_shards(mesh, local_plans, samples)
+        return stage_planned_shards(
+            mesh, local_plans, samples, slot_mode=slot_mode
+        )
 
 
 def stage_planned_shards(
-    mesh: Mesh, local_plans: dict, samples: dict
+    mesh: Mesh, local_plans: dict, samples: dict,
+    slot_mode: bool = False,
 ) -> ShardedStaging:
     """
     Stage locally-planned shards onto the mesh: pad plans to globally
@@ -318,6 +322,14 @@ def stage_planned_shards(
     allgather the total weight. ``local_plans`` / ``samples`` map shard
     index (position in ``mesh.devices.flat``) to this process's plan
     and its ``(complex visibilities, effective weights)`` samples.
+
+    ``slot_mode=True`` drops the data-order <-> slot-order transform
+    columns (order, flip_sign, phase_cos, phase_sin) from the staged
+    arrays — consumers whose programs run entirely in slot space
+    (invert-only drivers) never read them on device, and they are
+    ~16 B/slot of host->device transfer (~1 GB at the 50M-visibility
+    production scale). The major-cycle driver (sharded_clean) keeps
+    them: its PSF program reads the staged phase factors.
     """
     from ..ops.plan import plan_shape_maxima
 
@@ -363,7 +375,8 @@ def stage_planned_shards(
         return jax.make_array_from_callback(shape, sharded, callback)
 
     host_arrays = {
-        index: plan_host_arrays(plan) for index, plan in plans.items()
+        index: plan_host_arrays(plan, slot_mode=slot_mode)
+        for index, plan in plans.items()
     }
     # The image-domain geometry maps are computed inside the jitted
     # gridding programs from the replicated quadrature rule — nothing
@@ -509,6 +522,9 @@ def sharded_invert_dataset(
         step=step,
         sigma=sigma,
         common_w_grid=distributed,
+        # Invert-only: the slot-order transform columns are never
+        # read on device, so they are not staged.
+        slot_mode=True,
     )
     axis_name = staging.axis_name
     invert = build_invert(

@@ -246,6 +246,16 @@ def sharded_invert_tile_chunks(
         glo = -float(_allgather_max(np.asarray([-min(los)]))[0])
         global_w = (glo, ghi)
     timings["load_s"] = round(_time.time() - t0, 2)
+    # Pre-fault the planner's host allocation arenas for the largest
+    # local shard (no-op when already warm; see utils/hostmem.py).
+    t0 = _time.time()
+    from ..ops.plan import prewarm_plan_arenas
+
+    if local_ids:
+        prewarm_plan_arenas(
+            max(len(scaled[i][0]) for i in local_ids)
+        )
+    timings["prewarm_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     plans = {}
     samples = {}
@@ -266,7 +276,9 @@ def sharded_invert_tile_chunks(
 
     timings["plan_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
-    staging = stage_planned_shards(mesh, plans, samples)
+    staging = stage_planned_shards(
+        mesh, plans, samples, slot_mode=True
+    )
     timings["stage_s"] = round(_time.time() - t0, 2)
     invert = build_invert(
         staging.plans[0],
