@@ -432,11 +432,12 @@ def stage_slot_weights(plan: GridderPlan, weights) -> np.ndarray:
 # ---------------------------------------------------------------------
 # Compact staging: rebuild the per-slot plan rows and slot-ordered
 # visibilities ON DEVICE from the raw inputs, so the host->device
-# transfer carries ~2.2x fewer bytes. The staged per-slot data shrinks
-# to ONE int32 column (``order_enc``: source index with the conjugation
-# flip in the sign) plus tiny hi/lo-split uvw and frequency-scale
-# tables; visibilities transfer in DATA order (num_vis_data, not
-# num_slots). A jitted prologue (:func:`build_assemble`) re-derives the
+# transfer carries ~2.6x fewer bytes. The staged per-slot data shrinks
+# to a delta-compressed source-index map (per-block uint16 deltas +
+# int32 firsts + exception list, ~2 B/slot) plus tiny hi/lo-split uvw
+# and frequency-scale tables; visibilities transfer in DATA order
+# (num_vis_data, not num_slots). A jitted prologue
+# (:func:`build_assemble`) re-derives the
 # (3, V) packed rows with double-float (f32 hi/lo) arithmetic — ~1e-9
 # cell agreement with the host f64 planner — and gathers/rotates the
 # visibilities into slot order. The reference's analog is ducc0
@@ -455,9 +456,10 @@ def compact_plan_host_arrays(
     :func:`plan_host_arrays` ``slot_mode=True`` stages EXCEPT the
     (3, num_slots) f32 ``packed`` rows, which are replaced by
 
-    - ``order_enc`` (num_slots,) int32 — source sample index, with
-      w-conjugated samples encoded as ``-(index + 1)`` (padding slots
-      keep the positive ``num_vis_data`` sentinel);
+    - ``oe_first``/``oe_delta``/``oe_exc_pos``/``oe_exc_val`` — the
+      delta-compressed slot source-index map (per-block int32 first
+      index + uint16 deltas + exact exception list; padding slots
+      decode to the ``num_vis_data`` sentinel);
     - ``uvw_hi``/``uvw_lo`` (nrow, 3) f32 — hi/lo split of the f64
       baseline coordinates (meters);
     - ``scale_hi``/``scale_lo`` (nchan,) f32 — hi/lo split of
@@ -473,7 +475,7 @@ def compact_plan_host_arrays(
     )
     if plan.order_enc is not None:
         # Native export (export_packed=False) emits this directly.
-        arrays["order_enc"] = plan.order_enc
+        enc = plan.order_enc
     else:
         order = plan.order
         if plan.flip_sign is not None:
@@ -482,9 +484,32 @@ def compact_plan_host_arrays(
             flipped = plan.flip.astype(bool)
         else:
             flipped = np.zeros(len(order), bool)
-        arrays["order_enc"] = np.where(
+        enc = np.where(
             flipped, -order.astype(np.int64) - 1, order
         ).astype(np.int32)
+    # Delta-compressed transfer format (~14.5 MB instead of 28.5 MB
+    # per 7.1M slots): slot source indices are sorted within each
+    # block, so per-block uint16 deltas + an int32 first-index row
+    # cover >99.5% of slots; out-of-range deltas (block boundaries,
+    # mixed w-bins, pad tails) ride an exact exception list.
+    # Conjugation flips are NOT staged: the device prologue re-derives
+    # them densely from the w sign (build_assemble's dense pass).
+    idx = np.where(enc < 0, -enc - 1, enc).astype(np.int64)
+    num_blocks = plan.num_blocks
+    block = plan.block
+    blocks = idx.reshape(num_blocks, block)
+    deltas = np.zeros((num_blocks, block), np.int64)
+    deltas[:, 1:] = np.diff(blocks, axis=1)
+    bad = (deltas < 0) | (deltas >= 65536)
+    exc_pos = np.flatnonzero(bad).astype(np.int32)
+    arrays["oe_first"] = blocks[:, 0].astype(np.int32)
+    arrays["oe_delta"] = (
+        np.where(bad, 0, deltas).astype(np.uint16).reshape(-1)
+    )
+    arrays["oe_exc_pos"] = exc_pos
+    arrays["oe_exc_val"] = deltas.reshape(-1)[exc_pos].astype(
+        np.int32
+    )
     uvw64 = np.ascontiguousarray(uvw, np.float64)
     hi = uvw64.astype(np.float32)
     arrays["uvw_hi"] = hi
@@ -626,10 +651,22 @@ def build_assemble(plan: GridderPlan):
         # 7.1M measured 383 ms while one (N, 8)-row gather moving the
         # same payload measured 130 ms (2026-08-21 chip probe). All
         # per-sample values ride one dense (N, 8) table.
-        enc = arrays["order_enc"]
-        idx = jnp.where(enc < 0, -enc - 1, enc)
+        # Expand the delta-compressed slot indices (see
+        # compact_plan_host_arrays): exception scatter, per-block
+        # cumsum, flip bits unpacked from bytes.
+        deltas = (
+            arrays["oe_delta"]
+            .astype(jnp.int32)
+            .at[arrays["oe_exc_pos"]]
+            .set(arrays["oe_exc_val"], mode="drop")
+            .reshape(arrays["oe_first"].shape[0], block)
+        )
+        idx = (
+            jnp.cumsum(deltas, axis=1)
+            + arrays["oe_first"][:, None]
+        ).reshape(-1)
+        num_slots = idx.shape[0]
         mask = idx < num_data
-        num_slots = enc.shape[0]
         # Slots are exactly block-major: per-block origins broadcast,
         # no gather needed (same trick as _kernel_dma_rows).
         def per_block(table):
