@@ -252,13 +252,17 @@ def _kernel(
     c: int,
     qs: int,
     mb: int,
+    tiled: bool = False,
 ):
     ci = pl.program_id(2)
     f32 = jnp.float32
 
     # Stage 1: contract the n1i covered j1 rows (bf16x3); (C, MB)
-    # merged minor dims.
-    x2 = jnp.concatenate([re_ref[:], im_ref[:]], axis=0)
+    # merged minor dims. Tiled inputs arrive as (1, 1, n1i, C, MB)
+    # blocks (contiguous fetches; see pretile_first_axis).
+    xr = re_ref[0, 0] if tiled else re_ref[:]
+    xi = im_ref[0, 0] if tiled else im_ref[:]
+    x2 = jnp.concatenate([xr, xi], axis=0)
     x2 = x2.reshape(2 * n1i, c * mb)
     xh = x2.astype(jnp.bfloat16)
     xl = (x2 - xh.astype(f32)).astype(jnp.bfloat16)
@@ -303,9 +307,74 @@ def _kernel(
         outi_ref[:] += pi
 
 
+def _pretile_kernel(in_re, in_im, out_re, out_im, *, nc, c, num_mb, mb):
+    """One j1 row-slab (1, n2, m) -> tiled (nc, num_mb, 1, c, mb)."""
+    x = in_re[0]
+    y = in_im[0]
+    xt = x.reshape(nc, c, num_mb, mb).transpose(0, 2, 1, 3)
+    yt = y.reshape(nc, c, num_mb, mb).transpose(0, 2, 1, 3)
+    out_re[:, :, 0] = xt
+    out_im[:, :, 0] = yt
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def pretile_first_axis(re, im, *, meta: FusedPassMeta, interpret=False):
+    """
+    Restructure the fused pass's input into CONTIGUOUS (n1, C, MB)
+    tiles: layout (NC, num_mb, n1, C, MB). The fused kernel's natural
+    input DMA gathers n1*C strided 512-byte rows per block (~54 GB/s,
+    35 of the 45 ms pass at 15360^2); this kernel reads each j1
+    row-slab (1, n2, m) as ONE contiguous fetch and writes 32 KB
+    tiled chunks, so the downstream pass fetches 4 MB contiguous
+    blocks instead. (An XLA pre-transpose was measured SLOWER — its
+    transpose is itself strided; this kernel keeps both sides of the
+    restructure in large DMAs.)
+    """
+    n1i, n2, c, mb = meta.n1_in, meta.n2, meta.c, meta.mb
+    m = re.shape[1]
+    num_mb = m // mb
+    nc = meta.nc
+    if re.shape[0] != n1i * n2:
+        raise ValueError(
+            f"pretile input shape {re.shape} != ({n1i * n2}, m)"
+        )
+    re3 = re.reshape(n1i, n2, m)
+    im3 = im.reshape(n1i, n2, m)
+    out_shape = [
+        jax.ShapeDtypeStruct((nc, num_mb, n1i, c, mb), jnp.float32),
+        jax.ShapeDtypeStruct((nc, num_mb, n1i, c, mb), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, n2, m), lambda j1: (j1, 0, 0)),
+        pl.BlockSpec((1, n2, m), lambda j1: (j1, 0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (nc, num_mb, 1, c, mb), lambda j1: (0, 0, j1, 0, 0)
+        ),
+        pl.BlockSpec(
+            (nc, num_mb, 1, c, mb), lambda j1: (0, 0, j1, 0, 0)
+        ),
+    ]
+    return pl.pallas_call(
+        partial(
+            _pretile_kernel, nc=nc, c=c, num_mb=num_mb, mb=mb
+        ),
+        grid=(n1i,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(re3, im3)
+
+
 @partial(
     jax.jit,
-    static_argnames=("meta", "prefix", "interpret"),
+    static_argnames=("meta", "prefix", "interpret", "tiled"),
 )
 def fft_first_axis_fused(
     re,
@@ -315,6 +384,7 @@ def fft_first_axis_fused(
     meta: FusedPassMeta,
     prefix: str,
     interpret: bool = False,
+    tiled: bool = False,
 ):
     """
     DFT along the FIRST axis of (n, m) split arrays via the fused
@@ -328,23 +398,33 @@ def fft_first_axis_fused(
     mb = meta.mb
     n1i = meta.n1_in
     n = n1 * n2
-    m = re.shape[1]
-    rows_in = meta.in_size if meta.in_size else n
-    if re.shape != (rows_in, m) or m % mb:
-        raise ValueError(
-            f"bad input shape {re.shape} (want ({rows_in}, {m}))"
-        )
-    if meta.in_size:
-        # Zero-pad the cropped rows into the covering j1 window
-        # (stage-1 pruning; the XLA path does the same, ops/fft.py).
-        shape = (n1i * n2, m)
-        re = jnp.zeros(shape, re.dtype).at[
-            meta.pad_lo : meta.pad_lo + meta.in_size
-        ].set(re)
-        im = jnp.zeros(shape, im.dtype).at[
-            meta.pad_lo : meta.pad_lo + meta.in_size
-        ].set(im)
-    num_mb = m // mb
+    if tiled:
+        # Input already restructured by pretile_first_axis:
+        # (NC, num_mb, n1i, C, MB); each block fetch is ONE
+        # contiguous n1i*C*MB*4-byte DMA.
+        nc_in, num_mb = re.shape[0], re.shape[1]
+        if re.shape != (nc_in, num_mb, n1i, c, mb):
+            raise ValueError(f"bad tiled input shape {re.shape}")
+        m = num_mb * mb
+    else:
+        m = re.shape[1]
+        rows_in = meta.in_size if meta.in_size else n
+        if re.shape != (rows_in, m) or m % mb:
+            raise ValueError(
+                f"bad input shape {re.shape} (want ({rows_in}, {m}))"
+            )
+        if meta.in_size:
+            # Zero-pad the cropped rows into the covering j1 window
+            # (stage-1 pruning; the XLA path does the same,
+            # ops/fft.py).
+            shape = (n1i * n2, m)
+            re = jnp.zeros(shape, re.dtype).at[
+                meta.pad_lo : meta.pad_lo + meta.in_size
+            ].set(re)
+            im = jnp.zeros(shape, im.dtype).at[
+                meta.pad_lo : meta.pad_lo + meta.in_size
+            ].set(im)
+        num_mb = m // mb
     grid = (num_mb, meta.qb, meta.nc)
 
     # NOTE on input DMA: each (n1, C, MB) block gathers n1*C strided
@@ -353,13 +433,32 @@ def fft_first_axis_fused(
     # scripts/fft_ablation_probe.py). An explicit XLA pre-tiling
     # transpose into contiguous blocks was measured SLOWER overall
     # (57 ms: the 5-D transpose pass costs more than the strided DMA
-    # saves), so the kernel reads the natural layout directly.
-    re3 = re.reshape(n1i, n2, m)
-    im3 = im.reshape(n1i, n2, m)
+    # saves); ``tiled=True`` instead takes input restructured by the
+    # PALLAS :func:`pretile_first_axis` kernel (large DMAs on both
+    # sides) and fetches contiguous tiles here.
+    if tiled:
+        re3, im3 = re, im
+    else:
+        re3 = re.reshape(n1i, n2, m)
+        im3 = im.reshape(n1i, n2, m)
 
-    in_specs = [
-        pl.BlockSpec((n1i, c, mb), lambda bm, qb, ci: (0, ci, bm)),
-        pl.BlockSpec((n1i, c, mb), lambda bm, qb, ci: (0, ci, bm)),
+    if tiled:
+        data_specs = [
+            pl.BlockSpec(
+                (1, 1, n1i, c, mb),
+                lambda bm, qb, ci: (ci, bm, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, n1i, c, mb),
+                lambda bm, qb, ci: (ci, bm, 0, 0, 0),
+            ),
+        ]
+    else:
+        data_specs = [
+            pl.BlockSpec((n1i, c, mb), lambda bm, qb, ci: (0, ci, bm)),
+            pl.BlockSpec((n1i, c, mb), lambda bm, qb, ci: (0, ci, bm)),
+        ]
+    in_specs = data_specs + [
         pl.BlockSpec((2 * n1, 2 * n1i), lambda bm, qb, ci: (0, 0)),
         pl.BlockSpec((2 * n1, 2 * n1i), lambda bm, qb, ci: (0, 0)),
         pl.BlockSpec((1, n1, c, 1), lambda bm, qb, ci: (ci, 0, 0, 0)),
@@ -382,7 +481,9 @@ def fft_first_axis_fused(
     ]
 
     outr, outi = pl.pallas_call(
-        partial(_kernel, n1=n1, n1i=n1i, c=c, qs=qs, mb=mb),
+        partial(
+            _kernel, n1=n1, n1i=n1i, c=c, qs=qs, mb=mb, tiled=tiled
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

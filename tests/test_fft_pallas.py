@@ -237,3 +237,39 @@ def test_resolve_fft_impl_validation():
         resolve_fft_impl(plan, "pallas")
     with pytest.raises(ValueError, match="unknown"):
         resolve_fft_impl(plan, "nope")
+
+
+def test_tiled_input_pass_matches_baseline():
+    """The pretile restructure + tiled-input fused pass must equal the
+    strided-input baseline exactly (same kernel math, different DMA
+    layout)."""
+    from ska_sdp_cip_tpu.ops.fft import make_fft_plan
+    from ska_sdp_cip_tpu.ops.fft_pallas import (
+        fft_first_axis_fused,
+        fused_pass_host_arrays,
+        fused_pass_meta,
+        pretile_first_axis,
+    )
+
+    n, npix = 512, 256
+    crop0 = (n - npix) // 2
+    plan = make_fft_plan(n, shifted=True)
+    meta = fused_pass_meta(plan, (crop0, npix))
+    f = {
+        k: jnp.asarray(v)
+        for k, v in fused_pass_host_arrays(
+            plan, meta, sign=+1, prefix="fp"
+        ).items()
+    }
+    rng = np.random.default_rng(7)
+    re = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    im = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    r0, i0 = fft_first_axis_fused(
+        re, im, f, meta=meta, prefix="fp", interpret=True
+    )
+    tr, ti = pretile_first_axis(re, im, meta=meta, interpret=True)
+    r1, i1 = fft_first_axis_fused(
+        tr, ti, f, meta=meta, prefix="fp", interpret=True, tiled=True
+    )
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
