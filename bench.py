@@ -194,7 +194,16 @@ def main() -> None:
     dirty_aot = cached_jit(
         dirty_raw,
         (carrays, re_data, im_data),
-        cache_key("bench_dirty", plan.static_signature()),
+        cache_key(
+            "bench_dirty",
+            plan.static_signature(),
+            plan.du,
+            plan.n_mid,
+            plan.beta,
+            plan.dw,
+            plan.w0,
+            plan.pixel_size_lm,
+        ),
     )
     aot_setup_seconds = time.time() - t0
 

@@ -16,6 +16,7 @@
 #include <sys/mman.h>
 
 #include <chrono>
+#include <cerrno>
 #include <cstdio>
 #include <cstdlib>
 
@@ -77,18 +78,17 @@ void parallel_for(int64_t n, Fn fn) {
     for (auto& th : threads) th.join();
 }
 
-// Pre-fault [p, p + bytes) with CONCURRENT touch threads. Faults on
-// lazily-backed VM memory are hypervisor-bound, not CPU-bound:
-// MAP_POPULATE (serial, in-kernel) decays to ~40-80 MB/s as process
-// RSS grows once the TPU runtime is loaded, while 8 concurrent fault
-// streams sustain 2-3 GB/s under the same pressure (measured on the
-// bench VM, 2026-08-21). One store per 4 KB page is enough.
-inline void parallel_prefault(void* p, size_t bytes) {
+// Run body(begin, end) over [0, bytes) on 8 concurrent streams (or
+// serially below 1 MB). Memory faults on lazily-backed VM memory are
+// hypervisor-bound, not CPU-bound: MAP_POPULATE (serial, in-kernel)
+// decays to ~40-80 MB/s as process RSS grows once the TPU runtime is
+// loaded, while 8 concurrent fault streams sustain 2-3 GB/s under
+// the same pressure (measured on the bench VM, 2026-08-21).
+template <typename Body>
+inline void parallel_byte_streams(size_t bytes, Body body) {
     constexpr int kStreams = 8;
-    constexpr size_t kPage = 4096;
-    auto* base = static_cast<volatile char*>(p);
     if (bytes < (size_t{1} << 20)) {
-        for (size_t o = 0; o < bytes; o += kPage) base[o] = 0;
+        body(size_t{0}, bytes);
         return;
     }
     const size_t chunk = (bytes + kStreams - 1) / kStreams;
@@ -98,11 +98,18 @@ inline void parallel_prefault(void* p, size_t bytes) {
         const size_t begin = t * chunk;
         const size_t end = std::min(bytes, begin + chunk);
         if (begin >= end) break;
-        threads.emplace_back([base, begin, end] {
-            for (size_t o = begin; o < end; o += kPage) base[o] = 0;
-        });
+        threads.emplace_back([&body, begin, end] { body(begin, end); });
     }
     for (auto& th : threads) th.join();
+}
+
+// Pre-fault [p, p + bytes): one store per 4 KB page per stream.
+inline void parallel_prefault(void* p, size_t bytes) {
+    constexpr size_t kPage = 4096;
+    auto* base = static_cast<volatile char*>(p);
+    parallel_byte_streams(bytes, [base](size_t begin, size_t end) {
+        for (size_t o = begin; o < end; o += kPage) base[o] = 0;
+    });
 }
 
 // Warm-buffer arena: freed PBuf blocks are kept (power-of-two
@@ -139,23 +146,10 @@ inline size_t arena_bucket(size_t bytes) {
 
 // Parallel memset(0) for warm (already-faulted) pages.
 inline void parallel_memzero(void* p, size_t bytes) {
-    constexpr int kStreams = 8;
     auto* base = static_cast<char*>(p);
-    if (bytes < (size_t{1} << 20)) {
-        memset(base, 0, bytes);
-        return;
-    }
-    const size_t chunk = (bytes + kStreams - 1) / kStreams;
-    std::vector<std::thread> threads;
-    threads.reserve(kStreams);
-    for (int t = 0; t < kStreams; ++t) {
-        const size_t begin = t * chunk;
-        const size_t end = std::min(bytes, begin + chunk);
-        if (begin >= end) break;
-        threads.emplace_back(
-            [base, begin, end] { memset(base + begin, 0, end - begin); });
-    }
-    for (auto& th : threads) th.join();
+    parallel_byte_streams(bytes, [base](size_t begin, size_t end) {
+        memset(base + begin, 0, end - begin);
+    });
 }
 
 // Large scratch buffer backed by anonymous memory pre-faulted by
@@ -178,19 +172,29 @@ class PBuf {
         const size_t bucket = arena_bucket(bytes_);
         void* p = arena_acquire(bucket);
         if (p != nullptr) {
-            // Warm pages: zero the handed-out range in parallel at
-            // memory bandwidth (callers rely on zero fill).
+            // Warm pages (zeroing faults any never-touched bucket
+            // tail lazily, on the same 8 streams).
             parallel_memzero(p, bytes_);
         } else {
             p = mmap(nullptr, bucket, PROT_READ | PROT_WRITE,
                      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
             if (p == MAP_FAILED) {
-                data_ = nullptr;
-                n_ = 0;
-                bytes_ = 0;
-                return;
+                // Out of address space / overcommit: fail LOUDLY —
+                // callers write through data() unchecked, and a
+                // silent empty buffer would be a null-deref
+                // segfault with no diagnostic.
+                fprintf(stderr,
+                        "cip_native: mmap of %zu bytes failed "
+                        "(errno %d); aborting\n",
+                        bucket, errno);
+                abort();
             }
-            parallel_prefault(p, bucket);
+            // Fault only the REQUESTED bytes: the pow-of-two bucket
+            // can be ~2x the request, and cold faults are the
+            // expensive resource being rationed here. A later larger
+            // reuse of this bucket faults the tail in its zeroing
+            // pass.
+            parallel_prefault(p, bytes_);
         }
         data_ = static_cast<T*>(p);
     }

@@ -1072,54 +1072,45 @@ class TSSMFile:
                 f"no 'TiledShapeStMan' header frame in {self.path}"
             )
         desc = self.binding.column_descs[0]
-        # Candidate shapes: every plausible IPosition in the header.
-        # The cube shape is the one whose LAST axis matches the row
-        # count (single-cube TSSM extends the row axis); fixed-shape
-        # descs additionally pin the cell dims.
+        # Every plausible rank-matched IPosition in the header is a
+        # candidate for BOTH roles (a tile's row-axis extent can
+        # legitimately equal the row count, and headers carry extra
+        # IPositions such as the DEFAULTTILESHAPE spec); the blob-size
+        # cross-check in read_column disambiguates.
         want_rank = (len(desc.shape) or desc.ndim) + 1
         if want_rank < 2:
             raise CasacoreFormatError(
                 f"column {desc.name!r}: TSSM needs array cells "
                 f"(ndim {desc.ndim})"
             )
-        cubes = []
-        tiles = []
+        self.candidates = []
         for shape in self._iter_ipositions(data):
             if len(shape) != want_rank or not all(
                 1 <= d <= 100_000_000 for d in shape
             ):
                 continue
-            if shape[-1] == self.num_rows and (
-                not desc.shape or shape[:-1] == tuple(desc.shape)
-            ):
-                if shape not in cubes:
-                    cubes.append(shape)
-            elif all(d <= 1_000_000 for d in shape):
-                if shape not in tiles:
-                    tiles.append(shape)
-        if len(cubes) != 1:
+            if desc.shape and shape[-1] == self.num_rows and shape[
+                :-1
+            ] != tuple(desc.shape):
+                continue  # fixed-shape desc pins the cell dims
+            if shape not in self.candidates:
+                self.candidates.append(shape)
+        if not self.candidates:
             raise CasacoreFormatError(
-                f"{self.path}: found {len(cubes)} candidate TSSM "
-                f"hypercubes for column {desc.name!r} "
-                f"(rank {want_rank}, {self.num_rows} rows); only "
-                "single-hypercube (one cell shape for all rows) "
-                "TiledShapeStMan is supported"
+                f"no rank-{want_rank} IPositions in {self.path} "
+                f"header for column {desc.name!r}"
             )
-        self.cube_shape = cubes[0]
-        cell = self.cube_shape[:-1]
-        tile_shape = None
-        for cand in tiles:
-            if all(
-                c <= m for c, m in zip(cand[:-1], cell)
-            ) and cand != self.cube_shape:
-                tile_shape = cand
-                break
-        if tile_shape is None:
+
+    def _tile_bytes(self, tile, value_type) -> int:
+        items = int(np.prod(tile))
+        if value_type == TP_BOOL:
+            return (items + 7) // 8
+        dtype = _DTYPES.get(value_type)
+        if dtype is None:
             raise CasacoreFormatError(
-                f"no tile-shape IPosition compatible with cube "
-                f"{self.cube_shape} in {self.path} header"
+                f"unsupported TSM value type {value_type}"
             )
-        self.tile_shape = tile_shape
+        return items * dtype.itemsize
 
     def read_column(self, desc: ColumnDesc) -> np.ndarray:
         cube_path = self.path.with_name(self.path.name + "_TSM0")
@@ -1128,10 +1119,65 @@ class TSSMFile:
                 f"missing TSM cube file {cube_path}"
             )
         raw = cube_path.read_bytes()
+        # Disambiguate (cube, tile) among header candidates by the
+        # data file's EXACT size: the blob is a whole number of tiles
+        # covering cell + (num_rows,). A tile shape mistaken for a
+        # cube (or vice versa) fails this check instead of silently
+        # scrambling the decode.
+        consistent = []
+        for cube in self.candidates:
+            if cube[-1] != self.num_rows:
+                continue
+            cell = cube[:-1]
+            for tile in self.candidates:
+                if any(
+                    t > c for t, c in zip(tile[:-1], cell)
+                ):
+                    continue
+                ntiles = [
+                    -(-cube[a] // tile[a]) for a in range(len(tile))
+                ]
+                expected = int(np.prod(ntiles)) * self._tile_bytes(
+                    tile, desc.value_type
+                )
+                if expected == len(raw):
+                    if (cube, tile) not in consistent:
+                        consistent.append((cube, tile))
+        # Distinct (cube, tile) pairs can describe the same byte
+        # layout only if they decode identically-shaped tile grids;
+        # require a unique CELL shape, the thing that matters.
+        cells = {cube[:-1] for cube, _ in consistent}
+        if len(cells) != 1:
+            raise CasacoreFormatError(
+                f"{cube_path}: {len(consistent)} (hypercube, tile) "
+                f"candidate pairs consistent with the {len(raw)}-byte "
+                f"data file (cells {sorted(cells)}); only "
+                "single-hypercube TiledShapeStMan with an "
+                "unambiguous layout is supported"
+            )
+        # The cube-shape IPosition itself always pairs as a
+        # degenerate whole-cube tile (same byte count); when a proper
+        # (smaller) tile also matches, the degenerate pairing is that
+        # same header entry double-counted — drop it.
+        proper = [
+            (cube, tile)
+            for cube, tile in consistent
+            if tile != cube
+        ]
+        if proper:
+            consistent = proper
+        tiles = {tile for _, tile in consistent}
+        if len(tiles) > 1:
+            raise CasacoreFormatError(
+                f"{cube_path}: ambiguous tile shapes "
+                f"{sorted(tiles)} all match the data file size; "
+                "refusing to guess"
+            )
+        cube, tile = consistent[0]
         return _decode_tsm_cube(
             raw,
-            self.cube_shape[:-1],
-            self.tile_shape,
+            cube[:-1],
+            tile,
             self.num_rows,
             desc,
             cube_path,

@@ -401,10 +401,18 @@ def fft_first_axis_fused(
     if tiled:
         # Input already restructured by pretile_first_axis:
         # (NC, num_mb, n1i, C, MB); each block fetch is ONE
-        # contiguous n1i*C*MB*4-byte DMA.
-        nc_in, num_mb = re.shape[0], re.shape[1]
-        if re.shape != (nc_in, num_mb, n1i, c, mb):
-            raise ValueError(f"bad tiled input shape {re.shape}")
+        # contiguous n1i*C*MB*4-byte DMA. num_mb follows the input's
+        # m; every other dim must match THIS meta.
+        if (
+            re.ndim != 5
+            or re.shape[0] != meta.nc
+            or re.shape[2:] != (n1i, c, mb)
+        ):
+            raise ValueError(
+                f"bad tiled input shape {re.shape} (want "
+                f"({meta.nc}, m/{mb}, {n1i}, {c}, {mb}))"
+            )
+        num_mb = re.shape[1]
         m = num_mb * mb
     else:
         m = re.shape[1]

@@ -80,14 +80,31 @@ def cache_key(*parts) -> str:
     return hashlib.sha256(repr(ident).encode()).hexdigest()[:32]
 
 
+def args_fingerprint(example_args) -> str:
+    """Hash of the argument pytree's structure + shapes + dtypes —
+    folded into the cache key so data-dependent shapes (e.g. the
+    delta-compression exception count) select distinct executables."""
+    import jax
+
+    leaves, treedef = jax.tree.flatten(example_args)
+    spec = [
+        (tuple(getattr(x, "shape", ())), str(getattr(x, "dtype", type(x))))
+        for x in leaves
+    ]
+    return hashlib.sha256(
+        (repr(spec) + repr(treedef)).encode()
+    ).hexdigest()[:16]
+
+
 def cached_jit(fn, example_args, key: str, cache_dir=None):
     """
     A compiled-and-loaded executable for ``fn(*example_args)``: loaded
     from the AOT cache when a ``key`` entry exists, else compiled via
-    ``jax.jit(fn).lower(...).compile()`` and persisted. The returned
-    callable accepts the same argument structure (shapes/dtypes must
-    match ``example_args`` — true by construction for plan-keyed
-    gridder programs).
+    ``jax.jit(fn).lower(...).compile()`` and persisted. The argument
+    structure/shapes/dtypes are folded into the cache key
+    (:func:`args_fingerprint`), so a hit is valid for exactly these
+    avals; callers must still key any trace-time CONSTANTS (plan
+    geometry scalars such as du/n_mid) via ``key``.
 
     Durability: writes are atomic (tmp + rename); any failure to
     serialize/deserialize degrades to the fresh compile path.
@@ -95,6 +112,7 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
     import jax
 
     cache_dir = Path(cache_dir or default_cache_dir())
+    key = f"{key}-{args_fingerprint(example_args)}"
     path = cache_dir / f"{key}.aot"
     if path.is_file():
         try:

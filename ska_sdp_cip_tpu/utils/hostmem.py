@@ -165,8 +165,12 @@ def alloc_populated(count: int, dtype) -> np.ndarray:
     arr.flags.writeable = True
     touch = np.frombuffer(buf, dtype=np.uint8)
     touch.flags.writeable = True
-    chunk = -(-bucket // (2 * _TOUCH_WORKERS))
-    starts = range(0, bucket, chunk)
+    # Fault only the REQUESTED bytes (the pow-of-two bucket can be
+    # ~2x the request; cold faults are the rationed resource). A
+    # later larger reuse of this bucket faults the tail in its
+    # zeroing pass.
+    chunk = -(-nbytes // (2 * _TOUCH_WORKERS))
+    starts = range(0, nbytes, chunk)
 
     def _touch(start):
         touch[start : start + chunk : _mmap.PAGESIZE] = 0
