@@ -124,7 +124,24 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
                 payload, in_tree, out_tree = pickle.load(fh)
             loaded = deserialize_and_load(payload, in_tree, out_tree)
             STATS["hits"] += 1
-            return loaded
+
+            # Call-time guard: some backends deserialize an
+            # executable that then rejects its inputs (the CPU
+            # backend loses single-device shardings in the AOT
+            # round-trip). Degrade to a fresh jit instead of
+            # crashing the pipeline.
+            def _safe(*args):
+                try:
+                    return loaded(*args)
+                except Exception:
+                    STATS["errors"] += 1
+                    try:
+                        path.unlink()
+                    except OSError:
+                        pass
+                    return jax.jit(fn)(*args)
+
+            return _safe
         except Exception:
             STATS["errors"] += 1
             try:
