@@ -104,14 +104,19 @@ def main() -> None:
 
     t_warm = time.time()
     scalar_fetch()
-    # Warm the relay's TRANSFER streams too (first bulk transfers pay
-    # relay bring-up; staging times below should measure steady-state
-    # bandwidth, matching scripts/staging_probe.py).
+    # Warm the relay's TRANSFER streams too: the transfer path's
+    # internal buffers reach their high-water mark over the first
+    # ~100-200 MB of cumulative transfers (measured ramping 20 -> 55
+    # MB/s over consecutive 64 MB pushes with malloc reuse active),
+    # so the timed staging below runs at the warmed bandwidth. Two
+    # payload-sized rounds.
     from ska_sdp_cip_tpu.utils.staging import device_put_parallel
 
-    _ = device_put_parallel(
-        {"warm": np.zeros(8 * 1024 * 1024, np.float32)}, wait=True
-    )
+    for _round in range(2):
+        _ = device_put_parallel(
+            {"warm": np.zeros(16 * 1024 * 1024, np.float32)},
+            wait=True,
+        )
     # Pre-fault the host allocation arenas for the plan build: the
     # bench VM's fault rate collapses once jax + RSS are up
     # (utils/hostmem.py), and paying that once here keeps the timed
