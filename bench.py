@@ -202,12 +202,7 @@ def main() -> None:
         cache_key(
             "bench_dirty",
             plan.static_signature(),
-            plan.du,
-            plan.n_mid,
-            plan.beta,
-            plan.dw,
-            plan.w0,
-            plan.pixel_size_lm,
+            plan.constant_signature(),
         ),
     )
     aot_setup_seconds = time.time() - t0

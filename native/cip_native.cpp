@@ -142,6 +142,15 @@ inline size_t arena_bucket(size_t bytes) {
     while (b < bytes) b <<= 1;
     return b;
 }
+
+// Release every parked buffer back to the OS (allocation-failure
+// recovery path).
+inline void arena_drain() {
+    std::lock_guard<std::mutex> lock(g_buf_arena_mu);
+    for (auto& entry : g_buf_arena)
+        for (void* p : entry.second) munmap(p, entry.first);
+    g_buf_arena.clear();
+}
 }  // namespace
 
 // Parallel memset(0) for warm (already-faulted) pages.
@@ -179,13 +188,20 @@ class PBuf {
             p = mmap(nullptr, bucket, PROT_READ | PROT_WRITE,
                      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
             if (p == MAP_FAILED) {
-                // Out of address space / overcommit: fail LOUDLY —
-                // callers write through data() unchecked, and a
-                // silent empty buffer would be a null-deref
-                // segfault with no diagnostic.
+                // Out of address space / overcommit: return the
+                // arena's parked gigabytes to the OS and retry once
+                // before failing LOUDLY — callers write through
+                // data() unchecked, so a silent empty buffer would
+                // be a null-deref segfault with no diagnostic.
+                arena_drain();
+                p = mmap(nullptr, bucket, PROT_READ | PROT_WRITE,
+                         MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+            }
+            if (p == MAP_FAILED) {
                 fprintf(stderr,
                         "cip_native: mmap of %zu bytes failed "
-                        "(errno %d); aborting\n",
+                        "(errno %d) even after draining the warm "
+                        "arena; aborting\n",
                         bucket, errno);
                 abort();
             }

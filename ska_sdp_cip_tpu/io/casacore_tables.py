@@ -1083,16 +1083,17 @@ class TSSMFile:
                 f"column {desc.name!r}: TSSM needs array cells "
                 f"(ndim {desc.ndim})"
             )
+        # Keep EVERY plausible candidate for both roles here; the
+        # cube role is pinned by desc.shape (when fixed) and the
+        # blob-size cross-check in read_column. Pre-filtering tiles
+        # whose row extent happens to equal num_rows would drop
+        # legitimate tile shapes.
         self.candidates = []
         for shape in self._iter_ipositions(data):
             if len(shape) != want_rank or not all(
                 1 <= d <= 100_000_000 for d in shape
             ):
                 continue
-            if desc.shape and shape[-1] == self.num_rows and shape[
-                :-1
-            ] != tuple(desc.shape):
-                continue  # fixed-shape desc pins the cell dims
             if shape not in self.candidates:
                 self.candidates.append(shape)
         if not self.candidates:
@@ -1120,14 +1121,18 @@ class TSSMFile:
             )
         raw = cube_path.read_bytes()
         # Disambiguate (cube, tile) among header candidates by the
-        # data file's EXACT size: the blob is a whole number of tiles
-        # covering cell + (num_rows,). A tile shape mistaken for a
+        # data file's size: the blob is a whole number of tiles
+        # covering cell + (num_rows,), possibly followed by writer
+        # slack smaller than one tile. A tile shape mistaken for a
         # cube (or vice versa) fails this check instead of silently
-        # scrambling the decode.
-        consistent = []
+        # scrambling the decode. Among size-consistent pairs, the
+        # CLOSEST fit (largest expected byte count) wins.
+        scored = []
         for cube in self.candidates:
             if cube[-1] != self.num_rows:
                 continue
+            if desc.shape and cube[:-1] != tuple(desc.shape):
+                continue  # fixed-shape desc pins the cube's cell
             cell = cube[:-1]
             for tile in self.candidates:
                 if any(
@@ -1137,12 +1142,18 @@ class TSSMFile:
                 ntiles = [
                     -(-cube[a] // tile[a]) for a in range(len(tile))
                 ]
-                expected = int(np.prod(ntiles)) * self._tile_bytes(
-                    tile, desc.value_type
-                )
-                if expected == len(raw):
-                    if (cube, tile) not in consistent:
-                        consistent.append((cube, tile))
+                tb = self._tile_bytes(tile, desc.value_type)
+                expected = int(np.prod(ntiles)) * tb
+                slack = len(raw) - expected
+                if 0 <= slack < max(tb, 4096):
+                    if (expected, cube, tile) not in scored:
+                        scored.append((expected, cube, tile))
+        best = max((s[0] for s in scored), default=None)
+        consistent = [
+            (cube, tile)
+            for expected, cube, tile in scored
+            if expected == best
+        ]
         # Distinct (cube, tile) pairs can describe the same byte
         # layout only if they decode identically-shaped tile grids;
         # require a unique CELL shape, the thing that matters.

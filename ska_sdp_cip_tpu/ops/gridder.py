@@ -1838,19 +1838,10 @@ def dirty_image(
             fn = cached_jit(
                 dirty_fn,
                 (carrays, re_dev, im_dev),
-                # Trace-time constants baked into the program must
-                # ride the key: grid spacing, w-shift midpoint,
-                # kernel shape parameters (static_signature covers
-                # shapes only).
                 cache_key(
                     "dirty_compact",
                     plan.static_signature(),
-                    plan.du,
-                    plan.n_mid,
-                    plan.beta,
-                    plan.dw,
-                    plan.w0,
-                    plan.pixel_size_lm,
+                    plan.constant_signature(),
                 ),
             )
         else:

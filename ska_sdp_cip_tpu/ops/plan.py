@@ -386,6 +386,22 @@ class GridderPlan:
             self.plane_group,
         )
 
+    def constant_signature(self) -> tuple:
+        """
+        The TRACE-TIME constants a compiled gridder program bakes in
+        beyond the shapes of :meth:`static_signature` — fold both
+        into any persisted-executable cache key (utils/aot_cache.py).
+        """
+        return (
+            self.du,
+            self.n_mid,
+            self.beta,
+            self.dw,
+            self.w0,
+            self.pixel_size_lm,
+            self.sigma,
+        )
+
 
 def _build_active_table(
     plane_lo: np.ndarray,

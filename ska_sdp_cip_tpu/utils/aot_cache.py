@@ -81,14 +81,19 @@ def cache_key(*parts) -> str:
 
 
 def args_fingerprint(example_args) -> str:
-    """Hash of the argument pytree's structure + shapes + dtypes —
-    folded into the cache key so data-dependent shapes (e.g. the
-    delta-compression exception count) select distinct executables."""
+    """Hash of the argument pytree's structure + shapes + dtypes +
+    shardings — folded into the cache key so data-dependent shapes
+    (e.g. the delta-compression exception count) and placement
+    (single device vs a mesh) select distinct executables."""
     import jax
 
     leaves, treedef = jax.tree.flatten(example_args)
     spec = [
-        (tuple(getattr(x, "shape", ())), str(getattr(x, "dtype", type(x))))
+        (
+            tuple(getattr(x, "shape", ())),
+            str(getattr(x, "dtype", type(x))),
+            str(getattr(x, "sharding", "")),
+        )
         for x in leaves
     ]
     return hashlib.sha256(
@@ -115,6 +120,7 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
     key = f"{key}-{args_fingerprint(example_args)}"
     path = cache_dir / f"{key}.aot"
     if path.is_file():
+        loaded_ok = False
         try:
             from jax.experimental.serialize_executable import (
                 deserialize_and_load,
@@ -123,43 +129,74 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.load(fh)
             loaded = deserialize_and_load(payload, in_tree, out_tree)
-            STATS["hits"] += 1
-
-            # Call-time guard: some backends deserialize an
+            loaded_ok = True
+            # Load-time validation: some backends deserialize an
             # executable that then rejects its inputs (the CPU
             # backend loses single-device shardings in the AOT
-            # round-trip). Degrade to a fresh jit instead of
-            # crashing the pipeline.
-            def _safe(*args):
-                try:
-                    return loaded(*args)
-                except Exception:
-                    STATS["errors"] += 1
-                    try:
-                        path.unlink()
-                    except OSError:
-                        pass
-                    return jax.jit(fn)(*args)
-
-            return _safe
+            # round-trip). Check the executable's input shardings
+            # cover exactly the example args' devices; a mismatch is
+            # an error-path recompile, not a false "hit".
+            want = {
+                d
+                for leaf in jax.tree.leaves(example_args)
+                for d in getattr(
+                    getattr(leaf, "sharding", None),
+                    "device_set",
+                    set(),
+                )
+            }
+            have = set()
+            for shardings in loaded.input_shardings:
+                values = (
+                    shardings.values()
+                    if hasattr(shardings, "values")
+                    else shardings
+                )
+                for s in values:
+                    have |= getattr(s, "device_set", set())
+            if want and have and want != have:
+                raise ValueError(
+                    f"cached executable devices {have} != "
+                    f"argument devices {want}"
+                )
+            # Probe execution: the CPU backend's loaded executables
+            # can claim single-device metadata yet demand 8 input
+            # shards at run time — metadata validation cannot catch
+            # that, one discarded execution can. (One extra kernel
+            # run per process; the compile it replaces costs 100x
+            # more.)
+            jax.block_until_ready(loaded(*example_args))
+            STATS["hits"] += 1
+            return loaded
         except Exception:
             STATS["errors"] += 1
+            # A VALID-looking entry that failed to load or probe on
+            # THIS backend would fail identically next run: don't
+            # re-serialize the fresh compile (breaks the
+            # compile+serialize churn cycle); corruption-style
+            # failures still overwrite below.
+            persist = not loaded_ok
             try:
                 path.unlink()
             except OSError:
                 pass
+    else:
+        persist = True
 
     compiled = jax.jit(fn).lower(*example_args).compile()
     STATS["misses"] += 1
-    try:
-        from jax.experimental.serialize_executable import serialize
+    if persist:
+        try:
+            from jax.experimental.serialize_executable import (
+                serialize,
+            )
 
-        payload, in_tree, out_tree = serialize(compiled)
-        cache_dir.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(".tmp%d" % os.getpid())
-        with open(tmp, "wb") as fh:
-            pickle.dump((payload, in_tree, out_tree), fh)
-        os.replace(tmp, path)
-    except Exception:
-        STATS["errors"] += 1
+            payload, in_tree, out_tree = serialize(compiled)
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp%d" % os.getpid())
+            with open(tmp, "wb") as fh:
+                pickle.dump((payload, in_tree, out_tree), fh)
+            os.replace(tmp, path)
+        except Exception:
+            STATS["errors"] += 1
     return compiled
