@@ -55,6 +55,7 @@ from .plan import (
     NUM_OUT_BUFFERS,
     PAIR_FLAG_SHIFT,
     PREFETCH_DEPTH,
+    STEP_WIDTHS,
     GridderPlan,
 )
 
@@ -254,10 +255,10 @@ def _kernel_factors_group(plan: GridderPlan, pack, wp_ref):
     a PLANE GROUP: shared ax/ay plus per-plane amplitudes. The G w
     factors are evaluated in one (G, Bw) transcendental pass. Group
     plans exist only when w-stacking is on. ``pack`` may be the
-    DOUBLE-width (8, 2B) slice of a pair step (two same-tile blocks
-    side by side): positions are patch-relative to the shared origin
-    and the lane mask folds the per-block lane index, so all factor
-    math is width-agnostic.
+    MULTI-width (8, 2B) or (8, 4B) slice of a packed step (two or
+    four same-tile blocks side by side): positions are patch-relative
+    to the shared origin and the lane mask folds the per-block lane
+    index, so all factor math is width-agnostic.
     """
     G = plan.plane_group
     PX, PY, B, W = plan.patch_x, plan.patch_y, plan.block, plan.support
@@ -277,8 +278,9 @@ def _kernel_factors_group(plan: GridderPlan, pack, wp_ref):
     ay = es_kernel_jnp((iota_y - ypos) * inv_half, plan.beta)
     lane_i = lax.broadcasted_iota(jnp.int32, (1, Bw), 1)
     if Bw > B:
-        # Per-block lane index for the length mask of pair steps.
-        lane_i = lane_i - B * (lane_i >= B).astype(jnp.int32)
+        # Per-block lane index for the length mask of multi-block
+        # (pair/quad) steps.
+        lane_i = lane_i - B * (lane_i // B)
     lane = lane_i.astype(jnp.float32) < lenf
     inv_whalf = jnp.float32(2.0 / (W * plan.dw))
     z = (
@@ -296,11 +298,11 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
     """Plane-group variant of :func:`_grid_strip_kernel_factory`: G
     adjacent w-planes' strips stay resident and every block visit
     grids onto all of them, dividing block-steps by ~G and sharing
-    one ES build across the group. Step tables are PAIR-mode
-    (ops/plan.py:build_step_tables): a step may cover two same-tile
-    id-consecutive blocks fetched by one double-width DMA and gridded
-    by one double-K contraction — halving per-step scalar overhead on
-    dense workloads."""
+    one ES build across the group. Step tables are packed-width
+    (ops/plan.py:build_step_tables, STEP_WIDTHS): a step may cover 2
+    or 4 same-tile id-consecutive blocks fetched by one wide DMA and
+    gridded by one wide-K contraction — dividing per-step scalar
+    overhead on dense workloads."""
     G = plan.plane_group
     PX, PY = plan.patch_x, plan.patch_y
     B = plan.block
@@ -331,16 +333,13 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
             )
 
         def start_fetch(enc, par):
-            """enc = (block << 1) | pair, >= 0."""
-            blk = jnp.maximum(enc >> 1, 0)
+            """enc = (block << 2) | width_code, >= 0."""
+            blk = jnp.maximum(enc >> 2, 0)
+            for code, width in enumerate(STEP_WIDTHS):
 
-            @pl.when((enc & 1) == 0)
-            def _():
-                in_copy(blk, par, 1).start()
-
-            @pl.when((enc & 1) == 1)
-            def _():
-                in_copy(blk, par, 2).start()
+                @pl.when((enc & 3) == code)
+                def _(width=width):
+                    in_copy(blk, par, width).start()
 
         @pl.when(j == 0)
         def _():
@@ -390,15 +389,12 @@ def _grid_strip_group_kernel_factory(plan: GridderPlan):
         @pl.when(active & (v >= 0))
         def _():
             b = jnp.maximum(v, 0) & BMASK
-            pair = (jnp.maximum(v, 0) >> PAIR_FLAG_SHIFT) & 1
+            wcode = (jnp.maximum(v, 0) >> PAIR_FLAG_SHIFT) & 3
+            for code, width in enumerate(STEP_WIDTHS):
 
-            @pl.when(pair == 0)
-            def _():
-                grid_block(b, 1)
-
-            @pl.when(pair == 1)
-            def _():
-                grid_block(b, 2)
+                @pl.when(wcode == code)
+                def _(width=width):
+                    grid_block(b, width)
 
         @pl.when(active & (v < 0))
         def _():
@@ -462,10 +458,10 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
     """Plane-group variant of :func:`_degrid_strip_kernel_factory`:
     each block visit reads all G resident plane strips and writes the
     SUMMED group contribution, dividing block-steps and out-DMAs by
-    ~G. Step tables are PAIR-mode (ops/plan.py:build_step_tables):
-    a step may cover two same-tile id-consecutive blocks with one
-    double-width input DMA, one double-width contraction, and one
-    double-width output DMA."""
+    ~G. Step tables are packed-width (ops/plan.py:build_step_tables,
+    STEP_WIDTHS): a step may cover 2 or 4 same-tile id-consecutive
+    blocks with one wide input DMA, one wide contraction, and one
+    wide output DMA."""
     G = plan.plane_group
     PX, PY = plan.patch_x, plan.patch_y
     B = plan.block
@@ -524,16 +520,13 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
             )
 
         def start_fetch(enc, par):
-            """enc = (block << 1) | pair, >= 0."""
-            blk = jnp.maximum(enc >> 1, 0)
+            """enc = (block << 2) | width_code, >= 0."""
+            blk = jnp.maximum(enc >> 2, 0)
+            for code, width in enumerate(STEP_WIDTHS):
 
-            @pl.when((enc & 1) == 0)
-            def _():
-                pack_copy(blk, par, 1).start()
-
-            @pl.when((enc & 1) == 1)
-            def _():
-                pack_copy(blk, par, 2).start()
+                @pl.when((enc & 3) == code)
+                def _(width=width):
+                    pack_copy(blk, par, width).start()
 
         def grid_copies(strip_idx, buf):
             r0 = pl.multiple_of(strip_idx * SX, 8)
@@ -564,16 +557,13 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
             )
 
         def wait_out(enc, par):
-            """enc = (block << 1) | pair, >= 0."""
-            blk = jnp.maximum(enc >> 1, 0)
+            """enc = (block << 2) | width_code, >= 0."""
+            blk = jnp.maximum(enc >> 2, 0)
+            for code, width in enumerate(STEP_WIDTHS):
 
-            @pl.when((enc & 1) == 0)
-            def _():
-                out_copy(blk, par, 1).wait()
-
-            @pl.when((enc & 1) == 1)
-            def _():
-                out_copy(blk, par, 2).wait()
+                @pl.when((enc & 3) == code)
+                def _(width=width):
+                    out_copy(blk, par, width).wait()
 
         @pl.when(j == 0)
         def _():
@@ -665,15 +655,12 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
         @pl.when(active & (v >= 0))
         def _():
             b = jnp.maximum(v, 0) & BMASK
-            pair = (jnp.maximum(v, 0) >> PAIR_FLAG_SHIFT) & 1
+            wcode = (jnp.maximum(v, 0) >> PAIR_FLAG_SHIFT) & 3
+            for code, width in enumerate(STEP_WIDTHS):
 
-            @pl.when(pair == 0)
-            def _():
-                degrid_block(b, 1)
-
-            @pl.when(pair == 1)
-            def _():
-                degrid_block(b, 2)
+                @pl.when(wcode == code)
+                def _(width=width):
+                    degrid_block(b, width)
 
     return kernel
 
@@ -1064,9 +1051,10 @@ def build_grid_planes_pallas_group(
         scratch_shapes=[
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
-            # Double-width input slots: pair steps fetch (8, 2B).
+            # Quad-width input slots: packed steps fetch up to
+            # (8, 4B) (width codes 1/2/4, ops/plan.py STEP_WIDTHS).
             pltpu.VMEM(
-                (NUM_IN_BUFFERS, PACK_COLS, 2 * B), jnp.float32
+                (NUM_IN_BUFFERS, PACK_COLS, 4 * B), jnp.float32
             ),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2 * G)),
@@ -1142,11 +1130,12 @@ def build_degrid_planes_pallas_group(
         scratch_shapes=[
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
             pltpu.VMEM((2, G, PX, NY), jnp.float32),
-            # Double-width input/output slots: pair steps move 2B.
+            # Quad-width input/output slots: packed steps move up to
+            # 4B (width codes 1/2/4, ops/plan.py STEP_WIDTHS).
             pltpu.VMEM(
-                (NUM_IN_BUFFERS, PACK_COLS, 2 * B), jnp.float32
+                (NUM_IN_BUFFERS, PACK_COLS, 4 * B), jnp.float32
             ),
-            pltpu.VMEM((NUM_OUT_BUFFERS, 2, 2 * B), jnp.float32),
+            pltpu.VMEM((NUM_OUT_BUFFERS, 2, 4 * B), jnp.float32),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2 * G)),
             pltpu.SemaphoreType.DMA((NUM_OUT_BUFFERS,)),

@@ -225,7 +225,11 @@ PREFETCH_DEPTH = 6
 #: enough that a write issued at block-step k has completed by step
 #: k + NUM_OUT_BUFFERS when its slot is reused (a 4-deep ring left the
 #: kernel stalling ~1 us per step waiting on write completions).
-NUM_OUT_BUFFERS = 16
+#: 12 (not 16) since quad-width steps: the wider ring slots pushed the
+#: degrid kernel 104 KB over the 16 MB scoped-vmem limit, and steps
+#: are now 1.7x wider on dense plans so 12 covers a LONGER wall-time
+#: window than the round-4 ring did.
+NUM_OUT_BUFFERS = 12
 
 
 def next_even_grid_size(n: int) -> int:
@@ -439,35 +443,53 @@ def _build_active_table(
     return table
 
 
-#: Bit of ``step_val`` / shift of prefetch//wait encodings carrying
-#: the PAIR flag in pair-mode step tables (build_step_tables(...,
-#: block_tile=...)): a pair step processes blocks (b, b + 1) — same
-#: uv tile, contiguous slot ranges — in one kernel step with one
-#: double-width input DMA, halving the per-step scalar overhead for
-#: the ~77% of consecutive blocks that share a tile on dense
-#: workloads. Caps block ids at 2^20 (a 7 GB-of-slots plan at B=128).
+#: Bit position of ``step_val`` / shift of the prefetch//wait
+#: encodings carrying the WIDTH code in packed-mode step tables
+#: (build_step_tables(..., block_tile=...)): a width-W step processes
+#: blocks (b, .., b + W - 1) — same uv tile, contiguous slot ranges —
+#: in one kernel step with one W-wide input DMA, dividing the
+#: per-step scalar overhead. Width codes (2 bits): 0 -> 1 block,
+#: 1 -> 2 blocks (the round-4 pair), 2 -> 4 blocks (round 5). Caps
+#: block ids at 2^20 (a 7 GB-of-slots plan at B=128).
 PAIR_FLAG_SHIFT = 20
+
+#: Step widths by width code.
+STEP_WIDTHS = (1, 2, 4)
 
 
 def _pair_entries(
     active: np.ndarray, tile: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """
-    Greedy left-to-right pairing of an ascending active-block list:
-    entries are (start_block, pair_flag) where a paired entry covers
-    blocks (b, b + 1) — allowed when they are id-consecutive AND on
-    the same uv tile (same patch origin, contiguous slots).
+    Greedy left-to-right packing of an ascending active-block list:
+    entries are (start_block, width_code) where a width-W entry
+    covers blocks (b, .., b + W - 1) — allowed when they are
+    id-consecutive AND on the same uv tile (same patch origin,
+    contiguous slots). Widths are tried largest-first (4, 2, 1).
     """
     nb = len(active)
     starts = []
     flags = []
     j = 0
+
+    def run_ok(j, width):
+        if j + width - 1 >= nb:
+            return False
+        base = active[j]
+        for k in range(1, width):
+            if (
+                active[j + k] != base + k
+                or tile[active[j + k]] != tile[base]
+            ):
+                return False
+        return True
+
     while j < nb:
-        if (
-            j + 1 < nb
-            and active[j + 1] == active[j] + 1
-            and tile[active[j + 1]] == tile[active[j]]
-        ):
+        if run_ok(j, 4):
+            starts.append(active[j])
+            flags.append(2)
+            j += 4
+        elif run_ok(j, 2):
             starts.append(active[j])
             flags.append(1)
             j += 2
@@ -499,30 +521,32 @@ def build_step_tables(
     from SMEM. Encoding:
 
     * ``step_val``: block id (>= 0), sentinel ``-1 - strip``, pad -2.
-      Pair mode additionally sets bit ``PAIR_FLAG_SHIFT`` on steps
-      covering blocks (b, b + 1).
+      Packed mode additionally sets the 2-bit WIDTH code at
+      ``PAIR_FLAG_SHIFT`` on steps covering blocks
+      (b, .., b + width - 1), width in ``STEP_WIDTHS``.
     * ``step_aux``: ``(pref + 1) << 8 | out_parity << 4 |
       strip_parity << 3 | in_parity`` where ``pref`` is the block
       whose input DMA to start at this step (``PREFETCH_DEPTH`` steps
       ahead), ``in_parity`` the step's slot in the
       ``NUM_IN_BUFFERS``-deep input pipeline, and ``out_parity`` its
       slot in the ``NUM_OUT_BUFFERS``-deep degrid output ring. In
-      pair mode ``pref`` is ``(block << 1) | pair``.
+      packed mode ``pref`` is ``(block << 2) | width_code``.
     * ``step_aux2``: the block-step ``NUM_OUT_BUFFERS`` steps behind,
       plus one (0 if none) — the degrid kernel waits that step's
-      output DMA before reusing its ring slot. Pair mode:
-      ``((block << 1) | pair) + 1``.
+      output DMA before reusing its ring slot. Packed mode:
+      ``((block << 2) | width_code) + 1``.
     * ``first_block``: the first ``PREFETCH_DEPTH`` steps' blocks,
-      whose DMAs step 0 launches to fill the pipeline (pair mode:
-      ``(block << 1) | pair``).
+      whose DMAs step 0 launches to fill the pipeline (packed mode:
+      ``(block << 2) | width_code``).
     * ``last_blocks``: the final ``NUM_OUT_BUFFERS`` block-steps
-      encoded as ``block << 4 | out_parity`` (pair mode:
-      ``((block << 1) | pair) << 4 | out_parity``) for the degrid
-      output drain.
+      encoded as ``block << 4 | out_parity`` (packed mode:
+      ``((block << 2) | width_code) << 4 | out_parity``) for the
+      degrid output drain.
 
-    ``block_tile`` (the per-block uv-tile identity) enables PAIR mode
-    — used by the plane-group kernels; the single-plane kernels read
-    the legacy encoding and must be given tables built without it.
+    ``block_tile`` (the per-block uv-tile identity) enables packed
+    mode — used by the plane-group kernels; the single-plane kernels
+    read the legacy encoding and must be given tables built without
+    it.
     """
     num_blocks = len(plane_lo)
     if block_segment is None:
@@ -572,8 +596,9 @@ def build_step_tables(
             vals_enc = (starts | (flags << PAIR_FLAG_SHIFT)).astype(
                 np.int32
             )
-            # Prefetch / wait / drain encoding: (block << 1) | pair
-            side_enc = ((starts << 1) | flags).astype(np.int32)
+            # Prefetch / wait / drain encoding:
+            # (block << 2) | width_code
+            side_enc = ((starts << 2) | flags).astype(np.int32)
         else:
             vals_enc = starts.astype(np.int32)
             side_enc = starts.astype(np.int32)

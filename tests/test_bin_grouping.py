@@ -66,7 +66,11 @@ def test_grouping_cuts_block_steps():
     s2 = int((p2.step_val >= 0).sum())
     # support 6, g=2: per-vis plane window grows 6 -> <= 7 while
     # blocks double, so steps must drop well below s1 (7/12 + fill).
-    assert s2 < 0.75 * s1, (s1, s2)
+    # Quad-width step packing (round 5) compresses the UNgrouped
+    # baseline more than the grouped plan (more runs to pack), so the
+    # post-packing ratio sits near 0.8 on this tiny case; the
+    # grouping win still has to show.
+    assert s2 < 0.9 * s1, (s1, s2)
 
 
 def test_grouped_block_windows_stay_tight():

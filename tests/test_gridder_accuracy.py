@@ -212,8 +212,11 @@ def test_pair_steps_match_xla_on_dense_plan():
     plan = make_plan(uvw, freqs, 512, pix, epsilon=1e-4,
                      export_coords=True)
     sv = plan.step_val
-    paired = ((sv >= 0) & (((sv >> PAIR_FLAG_SHIFT) & 1) == 1)).sum()
+    wcode = (sv >> PAIR_FLAG_SHIFT) & 3
+    paired = ((sv >= 0) & (wcode == 1)).sum()
+    quads = ((sv >= 0) & (wcode == 2)).sum()
     assert paired > 100, "fixture must exercise many pair steps"
+    assert quads > 100, "fixture must exercise many quad steps"
 
     nvis = plan.num_vis
     vr = rng.normal(size=nvis).astype(np.float32)
