@@ -1145,7 +1145,12 @@ class TSSMFile:
                 tb = self._tile_bytes(tile, desc.value_type)
                 expected = int(np.prod(ntiles)) * tb
                 slack = len(raw) - expected
-                if 0 <= slack < max(tb, 4096):
+                # The degenerate whole-cube pairing (tile == cube)
+                # has tb == expected, which would make any slack
+                # window vacuous; it must match EXACTLY. Proper
+                # tiles tolerate sub-tile writer slack.
+                limit = 1 if tile == cube else max(tb, 4096)
+                if 0 <= slack < limit:
                     if (expected, cube, tile) not in scored:
                         scored.append((expected, cube, tile))
         best = max((s[0] for s in scored), default=None)

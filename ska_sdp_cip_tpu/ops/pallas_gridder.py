@@ -53,6 +53,7 @@ from .kernels import es_kernel_jnp
 from .plan import (
     NUM_IN_BUFFERS,
     NUM_OUT_BUFFERS,
+    NUM_OUT_BUFFERS_GROUP,
     PAIR_FLAG_SHIFT,
     PREFETCH_DEPTH,
     STEP_WIDTHS,
@@ -604,7 +605,7 @@ def _degrid_strip_group_kernel_factory(plan: GridderPlan):
             @pl.when(s == NS - 1)
             def _():
                 if not noout:
-                    for slot in range(NUM_OUT_BUFFERS):
+                    for slot in range(NUM_OUT_BUFFERS_GROUP):
                         enc = last_blks[slot]
 
                         @pl.when(enc >= 0)
@@ -1135,10 +1136,12 @@ def build_degrid_planes_pallas_group(
             pltpu.VMEM(
                 (NUM_IN_BUFFERS, PACK_COLS, 4 * B), jnp.float32
             ),
-            pltpu.VMEM((NUM_OUT_BUFFERS, 2, 4 * B), jnp.float32),
+            pltpu.VMEM(
+                (NUM_OUT_BUFFERS_GROUP, 2, 4 * B), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((NUM_IN_BUFFERS,)),
             pltpu.SemaphoreType.DMA((2, 2 * G)),
-            pltpu.SemaphoreType.DMA((NUM_OUT_BUFFERS,)),
+            pltpu.SemaphoreType.DMA((NUM_OUT_BUFFERS_GROUP,)),
         ],
     )
 

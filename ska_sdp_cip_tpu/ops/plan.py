@@ -220,16 +220,19 @@ def plane_group_of(wstacking: bool, nplanes: int) -> int:
 NUM_IN_BUFFERS = 8
 PREFETCH_DEPTH = 6
 
-#: Output ring of the degrid kernel: per-block (2, B) contribution
+#: Output ring of the degrid kernels: per-block (2, B) contribution
 #: writes are tiny (1 KB) latency-bound DMAs, so the ring must be deep
 #: enough that a write issued at block-step k has completed by step
-#: k + NUM_OUT_BUFFERS when its slot is reused (a 4-deep ring left the
+#: k + ring-depth when its slot is reused (a 4-deep ring left the
 #: kernel stalling ~1 us per step waiting on write completions).
-#: 12 (not 16) since quad-width steps: the wider ring slots pushed the
-#: degrid kernel 104 KB over the 16 MB scoped-vmem limit, and steps
-#: are now 1.7x wider on dense plans so 12 covers a LONGER wall-time
-#: window than the round-4 ring did.
-NUM_OUT_BUFFERS = 12
+NUM_OUT_BUFFERS = 16
+
+#: Ring depth for the PACKED (plane-group) degrid kernel: its ring
+#: slots are quad-width (4B), and 16 of them pushed the kernel 104 KB
+#: over the 16 MB scoped-vmem limit. Packed steps are ~1.7x wider on
+#: dense plans, so 12 covers a LONGER wall-time window than the
+#: round-4 16-deep ring did. The single-plane kernel keeps 16.
+NUM_OUT_BUFFERS_GROUP = 12
 
 
 def next_even_grid_size(n: int) -> int:
@@ -552,6 +555,9 @@ def build_step_tables(
     if block_segment is None:
         block_segment = np.zeros(num_blocks, dtype=np.int64)
     pair_mode = block_tile is not None
+    # Packed (group) tables drive the quad-width degrid ring; legacy
+    # tables drive the single-plane kernels' 16-deep ring.
+    ring = NUM_OUT_BUFFERS_GROUP if pair_mode else NUM_OUT_BUFFERS
     if pair_mode and num_blocks >= (1 << PAIR_FLAG_SHIFT):
         raise ValueError(
             f"pair-mode step tables cap block ids at "
@@ -584,7 +590,7 @@ def build_step_tables(
         (nplanes, num_segments, PREFETCH_DEPTH), -1, dtype=np.int32
     )
     last_blocks = np.full(
-        (nplanes, num_segments, NUM_OUT_BUFFERS), -1, dtype=np.int32
+        (nplanes, num_segments, ring), -1, dtype=np.int32
     )
 
     for (p, g), (starts, flags) in entries.items():
@@ -618,7 +624,7 @@ def build_step_tables(
         cur_strip[pos_sent] = np.arange(num_strips)
         aux |= (cur_strip % 2).astype(np.int32) << 3
         in_par = (np.arange(nb) % NUM_IN_BUFFERS).astype(np.int32)
-        out_par = (np.arange(nb) % NUM_OUT_BUFFERS).astype(np.int32)
+        out_par = (np.arange(nb) % ring).astype(np.int32)
         aux[pos_blocks] |= in_par | (out_par << 4)
         pref = np.zeros(nb + num_strips, dtype=np.int32)
         if nb > PREFETCH_DEPTH:
@@ -627,10 +633,8 @@ def build_step_tables(
             )
         aux |= pref << 8
         aux2 = np.zeros(nb + num_strips, dtype=np.int32)
-        if nb > NUM_OUT_BUFFERS:
-            aux2[pos_blocks[NUM_OUT_BUFFERS:]] = (
-                side_enc[:-NUM_OUT_BUFFERS] + 1
-            )
+        if nb > ring:
+            aux2[pos_blocks[ring:]] = side_enc[:-ring] + 1
         n_steps = nb + num_strips
         step_val[p, g, :n_steps] = vals
         step_aux[p, g, :n_steps] = aux
@@ -639,11 +643,11 @@ def build_step_tables(
         head = side_enc[:PREFETCH_DEPTH]
         first_block[p, g, : len(head)] = head
         # Encoded (enc << 4 | out_parity) for the degrid drain
-        tail = side_enc[-NUM_OUT_BUFFERS:]
-        tail_k = np.arange(nb)[-NUM_OUT_BUFFERS:]
+        tail = side_enc[-ring:]
+        tail_k = np.arange(nb)[-ring:]
         for slot, (enc, k) in enumerate(zip(tail, tail_k)):
             last_blocks[p, g, slot] = (int(enc) << 4) | (
-                k % NUM_OUT_BUFFERS
+                k % ring
             )
 
     return {
@@ -768,7 +772,9 @@ def pad_plans_uniform(plans: list, maxima: dict | None = None) -> list:
         )
         first_block[:rows] = p.first_block
         last_blocks = np.full(
-            (num_rows, num_segments, NUM_OUT_BUFFERS), -1, dtype=np.int32
+            (num_rows, num_segments, p.last_blocks.shape[-1]),
+            -1,
+            dtype=np.int32,
         )
         last_blocks[:rows] = p.last_blocks
         block_start = (

@@ -31,6 +31,12 @@ from pathlib import Path
 #: Process-wide stats, reported by bench.py.
 STATS = {"hits": 0, "misses": 0, "errors": 0}
 
+#: Per-process memo of built callables by full cache key: repeat
+#: cached_jit calls (e.g. dirty_image invoked per major cycle) reuse
+#: the loaded/compiled executable without re-deserializing or
+#: re-probing.
+_memo: dict = {}
+
 
 def default_cache_dir() -> Path:
     env = os.environ.get("CIP_AOT_CACHE")
@@ -118,6 +124,10 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
 
     cache_dir = Path(cache_dir or default_cache_dir())
     key = f"{key}-{args_fingerprint(example_args)}"
+    memo_key = (str(cache_dir), key)
+    if memo_key in _memo:
+        STATS["hits"] += 1
+        return _memo[memo_key]
     path = cache_dir / f"{key}.aot"
     if path.is_file():
         loaded_ok = False
@@ -146,14 +156,8 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
                 )
             }
             have = set()
-            for shardings in loaded.input_shardings:
-                values = (
-                    shardings.values()
-                    if hasattr(shardings, "values")
-                    else shardings
-                )
-                for s in values:
-                    have |= getattr(s, "device_set", set())
+            for s in jax.tree.leaves(loaded.input_shardings):
+                have |= getattr(s, "device_set", set())
             if want and have and want != have:
                 raise ValueError(
                     f"cached executable devices {have} != "
@@ -167,19 +171,23 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
             # more.)
             jax.block_until_ready(loaded(*example_args))
             STATS["hits"] += 1
+            _memo[memo_key] = loaded
             return loaded
         except Exception:
             STATS["errors"] += 1
-            # A VALID-looking entry that failed to load or probe on
-            # THIS backend would fail identically next run: don't
-            # re-serialize the fresh compile (breaks the
-            # compile+serialize churn cycle); corruption-style
-            # failures still overwrite below.
-            persist = not loaded_ok
-            try:
-                path.unlink()
-            except OSError:
-                pass
+            if loaded_ok:
+                # Deserialized cleanly but failed validation/probe on
+                # THIS backend: keep the file (it may be valid for
+                # the backend that wrote it) and don't overwrite it —
+                # this process just compiles fresh.
+                persist = False
+            else:
+                # Corrupt/unreadable entry: remove and overwrite.
+                persist = True
+                try:
+                    path.unlink()
+                except OSError:
+                    pass
     else:
         persist = True
 
@@ -199,4 +207,5 @@ def cached_jit(fn, example_args, key: str, cache_dir=None):
             os.replace(tmp, path)
         except Exception:
             STATS["errors"] += 1
+    _memo[memo_key] = compiled
     return compiled
